@@ -1,0 +1,128 @@
+"""Benchmark: registrations/s of the fused TPU ICP engine vs a CPU baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the reference repo's own example pair (car_cloud400 → car_cloud401,
+~25k points each) under the canonical default chain (random-sampled reading,
+sampling-surface-normal reference, exact NN matching, trimmed-dist outliers,
+point-to-plane minimizer, counter+differential stop — reference:
+ICP.cpp:100-113). The baseline is a faithful CPU implementation of the same
+pipeline built on scipy's cKDTree (the same kd-tree design libnabo uses),
+measured on this machine — the reference publishes no numbers in-tree
+(BASELINE.md), so the kd-tree CPU path is the stand-in for CPU
+libpointmatcher.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_clouds():
+    from libpointmatcher_tpu import io
+
+    base = "/root/reference/examples/data"
+    reading = io.load(f"{base}/car_cloud401.csv")
+    reference = io.load(f"{base}/car_cloud400.csv")
+    return reading, reference
+
+
+def cpu_baseline_icp(reading_pts, ref_pts, iterations=15, seed=0):
+    """CPU stand-in for the reference: kd-tree NN (scipy cKDTree, same
+    algorithmic family as libnabo), trimmed-dist outliers, point-to-plane."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+    # default chain: reading random-sampled 0.75; reference normals via knn=10
+    keep = rng.random(len(reading_pts)) < 0.75
+    src = reading_pts[keep].astype(np.float64)
+    ref = ref_pts.astype(np.float64)
+
+    t_start = time.perf_counter()
+    tree_n = cKDTree(ref)
+    _, nbr = tree_n.query(ref, k=10)
+    nb = ref[nbr]  # [M,10,3]
+    centered = nb - nb.mean(axis=1, keepdims=True)
+    cov = np.einsum("mki,mkj->mij", centered, centered)
+    w, v = np.linalg.eigh(cov)
+    normals = v[:, :, 0]
+
+    T = np.eye(4)
+    tree = cKDTree(ref)
+    for _ in range(iterations):
+        cur = src @ T[:3, :3].T + T[:3, 3]
+        d, idx = tree.query(cur, k=1)
+        lim = np.quantile(d, 0.75)
+        m = d <= lim
+        p = cur[m]
+        q = ref[idx[m]]
+        n = normals[idx[m]]
+        c = np.cross(p, n)
+        F = np.concatenate([c, n], axis=1)
+        A = F.T @ F
+        b = -(F.T @ np.sum((p - q) * n, axis=1))
+        x = np.linalg.lstsq(A, b, rcond=None)[0]
+        from scipy.spatial.transform import Rotation
+
+        dT = np.eye(4)
+        dT[:3, :3] = Rotation.from_rotvec(x[:3]).as_matrix()
+        dT[:3, 3] = x[3:]
+        T = dT @ T
+    return T, time.perf_counter() - t_start
+
+
+def main():
+    import jax
+
+    import libpointmatcher_tpu as pm
+
+    reading, reference = _load_clouds()
+    backend = jax.default_backend()
+
+    icp = pm.ICP()
+    icp.set_default()
+
+    # warmup (compile)
+    T = icp(reading, reference, seed=0)
+    np.asarray(T)
+
+    runs = 5
+    t0 = time.perf_counter()
+    iters_total = 0
+    for i in range(runs):
+        T = icp(reading, reference, seed=i)
+        np.asarray(jax.block_until_ready(T))
+        iters_total += icp.last_iteration_count
+    tpu_time = (time.perf_counter() - t0) / runs
+    mean_iters = iters_total / runs
+
+    # CPU baseline at the same iteration budget
+    r_pts, _, _ = reading.to_numpy()
+    f_pts, _, _ = reference.to_numpy()
+    _, cpu_time = cpu_baseline_icp(
+        r_pts, f_pts, iterations=max(int(round(mean_iters)), 1)
+    )
+
+    regs_per_s = 1.0 / tpu_time
+    vs_baseline = cpu_time / tpu_time
+
+    print(
+        json.dumps(
+            {
+                "metric": f"registrations/s ({backend}, car_cloud 25k pts, "
+                f"default point-to-plane chain, {mean_iters:.0f} iters)",
+                "value": round(regs_per_s, 3),
+                "unit": "registrations/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

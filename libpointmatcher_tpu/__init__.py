@@ -1,0 +1,63 @@
+"""libpointmatcher_tpu — a TPU-native point-cloud registration framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+libpointmatcher (the modular ICP library; reference mounted read-only at
+/root/reference): masked fixed-shape point clouds, an MXU-tiled
+nearest-neighbor matcher in place of the kd-tree, jit-compiled
+``lax.while_loop`` ICP engines, the full module registry (data filters,
+outlier filters, error minimizers, transformation checkers, inspectors,
+loggers) configurable from reference-format YAML, CSV/VTK/PLY/PCD IO, and
+multi-device sharding for large clouds and batched registration.
+"""
+
+from .cloud import PointCloud  # noqa: F401
+from .errors import (  # noqa: F401
+    ConfigurationError,
+    ConvergenceError,
+    InvalidField,
+    InvalidModuleType,
+    InvalidParameter,
+    PointMatcherError,
+    TransformationError,
+)
+from .matchers import Matcher, Matches, MatcherRegistrar  # noqa: F401
+from .minimizers import ErrorMinimizer, ErrorMinimizerRegistrar  # noqa: F401
+from .outlierfilters import OutlierFilter, OutlierFilterRegistrar  # noqa: F401
+from .checkers import (  # noqa: F401
+    TransformationChecker,
+    TransformationCheckerRegistrar,
+)
+from .transformations import (  # noqa: F401
+    RigidTransformation,
+    SimilarityTransformation,
+    PureTranslation,
+    TransformationRegistrar,
+)
+from .inspectors import Inspector, InspectorRegistrar  # noqa: F401
+from .loggers import Logger, LoggerRegistrar, set_logger  # noqa: F401
+from .filters import (  # noqa: F401
+    DataPointsFilter,
+    DataPointsFilterRegistrar,
+    apply_filter_chain,
+)
+from .icp import ICP, ICPChainBase, ICPSequence  # noqa: F401
+from . import io  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "PointCloud",
+    "ICP",
+    "ICPSequence",
+    "ICPChainBase",
+    "Matches",
+    "io",
+    "DataPointsFilterRegistrar",
+    "MatcherRegistrar",
+    "OutlierFilterRegistrar",
+    "ErrorMinimizerRegistrar",
+    "TransformationCheckerRegistrar",
+    "TransformationRegistrar",
+    "InspectorRegistrar",
+    "LoggerRegistrar",
+]

@@ -1,0 +1,269 @@
+"""PointCloud — the TPU-native data model for point clouds.
+
+This is the capability-equivalent of the reference ``DataPoints``
+(reference: pointmatcher/PointMatcher.h:207-358, DataPoints.cpp), redesigned
+for XLA: instead of a variable-width (d+1)xN homogeneous feature matrix whose
+column count changes at every filter, a ``PointCloud`` is a **fixed-shape,
+masked** pytree:
+
+- ``points``      [N, d] float32   point coordinates (d = 2 or 3); no
+                                   homogeneous pad row — transforms are applied
+                                   as ``x @ R.T + t``.
+- ``mask``        [N]    bool      valid-point mask. "Removing" a point means
+                                   clearing its mask bit, which keeps every
+                                   array shape static under ``jax.jit``.
+- ``descriptors`` {name: [N, span] float32}  named descriptor channels in
+                                   insertion order (parity with the reference's
+                                   ``Labels``: "normals" has span d,
+                                   "densities" span 1, ...).
+- ``times``       {name: [N, span] int}      named time channels.
+
+Host-side ``compact()`` re-packs valid points to the front and pads to a
+bucketed size so that repeated registrations hit the jit cache.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import InvalidField
+
+__all__ = ["PointCloud", "bucket_size"]
+
+
+def bucket_size(n: int, granule: int = 256) -> int:
+    """Round ``n`` up to a jit-cache-friendly bucket.
+
+    Buckets are powers of two of ``granule`` so distinct cloud sizes map to a
+    small number of compiled programs (the reference recompiles nothing, but
+    pays dynamic allocation instead; XLA wants static shapes)."""
+    if n <= granule:
+        return granule
+    return granule * (2 ** math.ceil(math.log2(n / granule)))
+
+
+@jax.tree_util.register_pytree_node_class
+class PointCloud:
+    """Masked fixed-shape point cloud (see module docstring)."""
+
+    __slots__ = ("points", "mask", "descriptors", "times")
+
+    def __init__(
+        self,
+        points,
+        mask=None,
+        descriptors: Optional[Mapping[str, jnp.ndarray]] = None,
+        times: Optional[Mapping[str, jnp.ndarray]] = None,
+    ):
+        points = jnp.asarray(points)
+        if points.ndim != 2:
+            raise InvalidField(
+                f"points must be [N, d], got shape {points.shape}"
+            )
+        if points.dtype not in (jnp.float32, jnp.float64):
+            points = points.astype(jnp.float32)
+        self.points = points
+        if mask is None:
+            mask = jnp.ones((points.shape[0],), dtype=bool)
+        self.mask = jnp.asarray(mask, dtype=bool)
+        self.descriptors: Dict[str, jnp.ndarray] = dict(descriptors or {})
+        self.times: Dict[str, jnp.ndarray] = dict(times or {})
+
+    # ------------------------------------------------------------------ pytree
+    def tree_flatten(self):
+        desc_names = tuple(self.descriptors.keys())
+        time_names = tuple(self.times.keys())
+        children = (
+            self.points,
+            self.mask,
+            tuple(self.descriptors[k] for k in desc_names),
+            tuple(self.times[k] for k in time_names),
+        )
+        return children, (desc_names, time_names)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        desc_names, time_names = aux
+        points, mask, desc_vals, time_vals = children
+        obj = object.__new__(cls)
+        obj.points = points
+        obj.mask = mask
+        obj.descriptors = dict(zip(desc_names, desc_vals))
+        obj.times = dict(zip(time_names, time_vals))
+        return obj
+
+    # ------------------------------------------------------------- properties
+    @property
+    def num_points(self) -> int:
+        """Static capacity N (allocated rows, valid or not)."""
+        return self.points.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.points.shape[1]
+
+    def count(self):
+        """Traced number of valid points."""
+        return jnp.sum(self.mask)
+
+    def count_host(self) -> int:
+        """Host-side number of valid points (synchronizes)."""
+        return int(np.asarray(jax.device_get(self.count())))
+
+    # ----------------------------------------------------------- descriptors
+    # Parity: DataPoints field ops (reference: PointMatcher.h:284-329).
+    def has_descriptor(self, name: str) -> bool:
+        return name in self.descriptors
+
+    def get_descriptor(self, name: str) -> jnp.ndarray:
+        try:
+            return self.descriptors[name]
+        except KeyError:
+            raise InvalidField(
+                f"Missing descriptor '{name}'; have {list(self.descriptors)}"
+            ) from None
+
+    def with_descriptor(self, name: str, value) -> "PointCloud":
+        value = jnp.asarray(value)
+        if value.ndim == 1:
+            value = value[:, None]
+        if value.shape[0] != self.num_points:
+            raise InvalidField(
+                f"descriptor '{name}' rows {value.shape[0]} != N {self.num_points}"
+            )
+        new = dict(self.descriptors)
+        new[name] = value
+        return PointCloud(self.points, self.mask, new, self.times)
+
+    def without_descriptor(self, name: str) -> "PointCloud":
+        new = dict(self.descriptors)
+        new.pop(name, None)
+        return PointCloud(self.points, self.mask, new, self.times)
+
+    def with_time(self, name: str, value) -> "PointCloud":
+        value = jnp.asarray(value)
+        if value.ndim == 1:
+            value = value[:, None]
+        new = dict(self.times)
+        new[name] = value
+        return PointCloud(self.points, self.mask, self.descriptors, new)
+
+    def descriptor_labels(self) -> Tuple[Tuple[str, int], ...]:
+        return tuple((k, int(v.shape[1])) for k, v in self.descriptors.items())
+
+    def time_labels(self) -> Tuple[Tuple[str, int], ...]:
+        return tuple((k, int(v.shape[1])) for k, v in self.times.items())
+
+    # ------------------------------------------------------------- structure
+    def replace(self, **kw) -> "PointCloud":
+        return PointCloud(
+            kw.get("points", self.points),
+            kw.get("mask", self.mask),
+            kw.get("descriptors", self.descriptors),
+            kw.get("times", self.times),
+        )
+
+    def with_mask(self, mask) -> "PointCloud":
+        """New cloud whose validity mask is ``self.mask & mask``."""
+        return self.replace(mask=jnp.logical_and(self.mask, mask))
+
+    def create_similar_empty(self, n: Optional[int] = None) -> "PointCloud":
+        """Same channel structure, all-invalid (reference: DataPoints.cpp:339)."""
+        n = self.num_points if n is None else n
+        return PointCloud(
+            jnp.zeros((n, self.dim), self.points.dtype),
+            jnp.zeros((n,), bool),
+            {k: jnp.zeros((n, v.shape[1]), v.dtype) for k, v in self.descriptors.items()},
+            {k: jnp.zeros((n, v.shape[1]), v.dtype) for k, v in self.times.items()},
+        )
+
+    def concatenate(self, other: "PointCloud") -> "PointCloud":
+        """Append ``other``'s rows (reference: DataPoints.cpp:225).
+
+        Descriptors kept only when present in both with equal span; others are
+        dropped (matching the reference's keep-common-fields behavior)."""
+        if other.dim != self.dim:
+            raise InvalidField("cannot concatenate clouds of different dim")
+        points = jnp.concatenate([self.points, other.points], axis=0)
+        mask = jnp.concatenate([self.mask, other.mask], axis=0)
+        descs = {}
+        for k, v in self.descriptors.items():
+            if k in other.descriptors and other.descriptors[k].shape[1] == v.shape[1]:
+                descs[k] = jnp.concatenate([v, other.descriptors[k]], axis=0)
+        times = {}
+        for k, v in self.times.items():
+            if k in other.times and other.times[k].shape[1] == v.shape[1]:
+                times[k] = jnp.concatenate([v, other.times[k]], axis=0)
+        return PointCloud(points, mask, descs, times)
+
+    # --------------------------------------------------------- host repacking
+    def compact(self, granule: int = 256, min_size: Optional[int] = None) -> "PointCloud":
+        """Host-side: pack valid rows to the front, pad to a bucketed size.
+
+        Run between filters outside the jitted hot loop, so downstream compute
+        (whose cost is O(N_alloc)) only pays for points that survived
+        filtering — the reference gets this for free by reallocating
+        (DataPoints::conservativeResize); we get it by re-bucketing."""
+        host = jax.device_get(self)
+        mask = np.asarray(host.mask)
+        idx = np.flatnonzero(mask)
+        n = len(idx)
+        cap = bucket_size(max(n, 1), granule)
+        if min_size is not None:
+            cap = max(cap, min_size)
+        sel = np.zeros(cap, dtype=np.int64)
+        sel[:n] = idx
+        new_mask = np.zeros(cap, dtype=bool)
+        new_mask[:n] = True
+        pts = np.asarray(host.points)[sel]
+        descs = {k: np.asarray(v)[sel] for k, v in host.descriptors.items()}
+        times = {k: np.asarray(v)[sel] for k, v in host.times.items()}
+        return PointCloud(pts, new_mask, descs, times)
+
+    # -------------------------------------------------------------- numpy IO
+    def to_numpy(self):
+        """Return (points[N_valid,d], descriptors, times) as numpy, valid rows only."""
+        host = jax.device_get(self)
+        mask = np.asarray(host.mask)
+        pts = np.asarray(host.points)[mask]
+        descs = {k: np.asarray(v)[mask] for k, v in host.descriptors.items()}
+        times = {k: np.asarray(v)[mask] for k, v in host.times.items()}
+        return pts, descs, times
+
+    @staticmethod
+    def from_numpy(points, descriptors=None, times=None, granule: int = 256) -> "PointCloud":
+        points = np.asarray(points, dtype=np.float32)
+        n, d = points.shape
+        cap = bucket_size(max(n, 1), granule)
+        pts = np.zeros((cap, d), np.float32)
+        pts[:n] = points
+        mask = np.zeros((cap,), bool)
+        mask[:n] = True
+        descs = {}
+        for k, v in (descriptors or {}).items():
+            v = np.asarray(v, np.float32)
+            if v.ndim == 1:
+                v = v[:, None]
+            buf = np.zeros((cap, v.shape[1]), np.float32)
+            buf[:n] = v
+            descs[k] = buf
+        tms = {}
+        for k, v in (times or {}).items():
+            v = np.asarray(v)
+            if v.ndim == 1:
+                v = v[:, None]
+            buf = np.zeros((cap, v.shape[1]), v.dtype)
+            buf[:n] = v
+            tms[k] = buf
+        return PointCloud(pts, mask, descs, tms)
+
+    def __repr__(self):
+        return (
+            f"PointCloud(N={self.num_points}, dim={self.dim}, "
+            f"descriptors={self.descriptor_labels()}, times={self.time_labels()})"
+        )

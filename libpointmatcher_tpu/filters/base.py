@@ -1,0 +1,62 @@
+"""Filter interface and chain semantics.
+
+Reference contract: ``filter(input) → DataPoints`` applied sequentially with
+point-count logging and an empty-cloud ``ConvergenceError``
+(reference: PointMatcher.h:437-467, DataPointsFilter.cpp:106-131).
+
+TPU design: filters are pure functions on masked fixed-shape clouds. They run
+eagerly on device *outside* the jitted ICP hot loop (the reference also runs
+them once per registration, not per iteration), and the chain compacts +
+re-buckets between filters so downstream cost scales with surviving points.
+Filters needing randomness take an explicit ``jax.random`` key — there is no
+hidden ``std::rand()`` state; reproducibility comes from the seed."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+
+from ..cloud import PointCloud
+from ..errors import ConvergenceError
+from ..loggers import log_info
+from ..registry import Parametrizable, Registrar
+
+__all__ = ["DataPointsFilter", "DataPointsFilterRegistrar", "apply_filter_chain"]
+
+DataPointsFilterRegistrar = Registrar("DataPointsFilter")
+
+
+class DataPointsFilter(Parametrizable):
+    """Interface (reference: PointMatcher.h:437-450)."""
+
+    def init(self) -> None:
+        """Reset per-registration state (reference: DataPointsFilter::init;
+        only schedule-carrying filters like FixStepSampling use it)."""
+
+    def filter(self, cloud: PointCloud, key: Optional[jax.Array] = None) -> PointCloud:
+        raise NotImplementedError
+
+
+def apply_filter_chain(
+    filters: Sequence[DataPointsFilter],
+    cloud: PointCloud,
+    key: Optional[jax.Array] = None,
+    compact: bool = True,
+) -> PointCloud:
+    """Apply filters sequentially (reference: DataPointsFilter.cpp:106-131)."""
+    for i, f in enumerate(filters):
+        sub = jax.random.fold_in(key, i) if key is not None else None
+        before = cloud.count_host()
+        cloud = f.filter(cloud, key=sub)
+        if compact:
+            cloud = cloud.compact()
+        after = cloud.count_host()
+        log_info(
+            f"Applied {type(f).__name__} - {after} points out of {before}"
+        )
+        if after == 0:
+            raise ConvergenceError(
+                f"no points remaining after filter {type(f).__name__}"
+            )
+    return cloud

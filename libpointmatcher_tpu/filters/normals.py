@@ -1,0 +1,321 @@
+"""Normal-estimation filters: SurfaceNormal, SamplingSurfaceNormal, Sphericality.
+
+The reference computes per-point neighborhoods with a kd-tree and loops over
+points (reference: DataPointsFilters/SurfaceNormal.cpp:82-290). TPU design:
+one batched kNN sweep (the same MXU-tiled kernel as the matcher), then
+**batched** covariance assembly + ``eigh`` over all neighborhoods at once —
+the whole filter is three fused XLA computations instead of N small eigens.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import PointCloud
+from ..errors import InvalidField
+from ..ops.knn import knn_brute_force
+from ..registry import Param
+from .base import DataPointsFilter, DataPointsFilterRegistrar
+
+_reg = DataPointsFilterRegistrar.register
+
+
+def neighborhood_eigens(points, mask, ids, dists):
+    """Batched neighborhood statistics.
+
+    Given kNN results (ids [N,k], dists [N,k]; +inf = missing), returns
+    (mean [N,d], eigenvalues [N,d] ascending, eigenvectors [N,d,d] columns,
+    counts [N], max_centered_norm [N]) of each point's neighbor set."""
+    valid = jnp.isfinite(dists)  # [N,k]
+    idsc = jnp.maximum(ids, 0)
+    nb = points[idsc]  # [N,k,d]
+    w = valid.astype(points.dtype)[..., None]  # [N,k,1]
+    count = jnp.maximum(jnp.sum(valid, axis=1), 1)  # [N]
+    mean = jnp.sum(nb * w, axis=1) / count[:, None]
+    centered = (nb - mean[:, None, :]) * w
+    # C = Σ centered centeredᵀ  → [N,d,d]
+    C = jnp.einsum("nkd,nke->nde", centered, centered)
+    eigva, eigve = jnp.linalg.eigh(C)
+    max_norm = jnp.max(
+        jnp.where(valid, jnp.linalg.norm(centered, axis=-1), 0.0), axis=1
+    )
+    return mean, eigva, eigve, count, max_norm
+
+
+def density_from_neighborhood(count, max_norm):
+    """points / sphere volume of the neighborhood
+    (reference: DataPointsFilters/utils/utils.h computeDensity)."""
+    volume = (4.0 / 3.0) * math.pi * jnp.maximum(max_norm, 1e-12) ** 3
+    return count / volume
+
+
+@_reg
+class SurfaceNormalDataPointsFilter(DataPointsFilter):
+    """Per-point surface normals from kNN covariance eigendecomposition
+    (reference: DataPointsFilters/SurfaceNormal.cpp, \\cite{Rusinkiewicz2001}).
+
+    Adds (per flags): 'normals' [d], 'densities' [1], 'eigValues' [d]
+    (ascending), 'eigVectors' [d·d] (row-major rows = eigenvectors),
+    'matchedIds' [knn], 'meanDists' [1]."""
+
+    PARAMS = (
+        Param("knn", "number of nearest neighbors to consider, including the "
+              "point itself", int, 5, min=3),
+        Param("maxDist", "maximum distance to consider for neighbors", float,
+              "inf", min=0.0),
+        Param("epsilon", "approximation for the nearest-neighbor search "
+              "(parity parameter; search is exact)", float, 0.0, min=0.0),
+        Param("keepNormals", "add normals to the output", bool, True),
+        Param("keepDensities", "add densities to the output", bool, False),
+        Param("keepEigenValues", "add eigen values to the output", bool, False),
+        Param("keepEigenVectors", "add eigen vectors to the output", bool, False),
+        Param("keepMatchedIds", "add matched point ids to the output", bool, False),
+        Param("keepMeanDist", "add distance to the neighborhood mean", bool, False),
+        Param("sortEigen", "sort eigenvalues ascending (always true here: "
+              "batched eigh returns ascending order)", bool, False),
+        Param("smoothNormals", "average the normal with the nearest neighbors",
+              bool, False),
+    )
+
+    def filter(self, cloud, key=None):
+        d = cloud.dim
+        dists, ids = knn_brute_force(
+            cloud.points, cloud.mask, cloud.points, cloud.mask, k=self.knn
+        )
+        if self.maxDist != float("inf"):
+            keep = dists <= jnp.float32(self.maxDist) ** 2
+            dists = jnp.where(keep, dists, jnp.inf)
+            ids = jnp.where(keep, ids, -1)
+        mean, eigva, eigve, count, max_norm = neighborhood_eigens(
+            cloud.points, cloud.mask, ids, dists
+        )
+        # Degenerate neighborhoods: the reference zeroes the outputs when
+        # rank(C) < d-1 (SurfaceNormal.cpp:193-217). Detect via the second
+        # smallest eigenvalue relative to the largest.
+        lam_max = jnp.maximum(eigva[:, -1], 1e-30)
+        degenerate = eigva[:, 1] <= lam_max * 1e-9
+        out = cloud
+        if self.keepNormals:
+            normal = eigve[:, :, 0]  # smallest-eigenvalue eigenvector
+            normal = jnp.clip(normal, -1.0, 1.0)
+            normal = jnp.where(degenerate[:, None], 0.0, normal)
+            if self.smoothNormals:
+                valid = jnp.isfinite(dists)
+                nb_n = normal[jnp.maximum(ids, 0)]  # [N,k,d]
+                sign = jnp.where(
+                    jnp.sum(nb_n * normal[:, None, :], axis=-1) > 0.0, 1.0, -1.0
+                )
+                acc = jnp.sum(
+                    nb_n * sign[..., None] * valid[..., None], axis=1
+                )
+                normal = acc / count[:, None]
+            out = out.with_descriptor("normals", normal)
+        if self.keepDensities:
+            dens = density_from_neighborhood(count, max_norm)
+            dens = jnp.where(degenerate, 0.0, dens)
+            out = out.with_descriptor("densities", dens)
+        if self.keepEigenValues:
+            out = out.with_descriptor(
+                "eigValues", jnp.where(degenerate[:, None], 0.0, eigva)
+            )
+        if self.keepEigenVectors:
+            # serialize the eigenvector matrix row-major: segment k holds
+            # component k of every eigenvector (columns are eigenvectors),
+            # matching utils.h serializeEigVec.
+            ser = eigve.reshape(-1, d * d)
+            ser = jnp.where(degenerate[:, None], 0.0, ser)
+            out = out.with_descriptor("eigVectors", ser)
+        if self.keepMatchedIds:
+            out = out.with_descriptor("matchedIds", ids.astype(jnp.float32))
+        if self.keepMeanDist:
+            md = jnp.linalg.norm(cloud.points - mean, axis=1)
+            md = jnp.where(degenerate, jnp.float32(np.float32(2**31)), md)
+            out = out.with_descriptor("meanDists", md)
+        return out
+
+
+def _median_split_boxes(points: np.ndarray, knn: int) -> np.ndarray:
+    """Recursive largest-extent median split until ≤ knn points per box
+    (reference: SamplingSurfaceNormal.cpp buildNew). Host-side; returns a box
+    id per point."""
+    n = points.shape[0]
+    box_ids = np.zeros(n, dtype=np.int64)
+    indices = np.arange(n)
+    next_box = [0]
+    stack = [(0, n)]
+    order = indices.copy()
+    while stack:
+        first, last = stack.pop()
+        count = last - first
+        if count <= knn:
+            box_ids[order[first:last]] = next_box[0]
+            next_box[0] += 1
+            continue
+        seg = order[first:last]
+        coords = points[seg]
+        extent = coords.max(axis=0) - coords.min(axis=0)
+        cut_dim = int(np.argmax(extent))
+        right_count = count // 2
+        left_count = count - right_count
+        part = np.argpartition(coords[:, cut_dim], left_count - 1)
+        order[first:last] = seg[part]
+        stack.append((first, first + left_count))
+        stack.append((first + left_count, last))
+    return box_ids
+
+
+@_reg
+class SamplingSurfaceNormalDataPointsFilter(DataPointsFilter):
+    """Subsample + estimate normals per kd-box decomposition
+    (reference: DataPointsFilters/SamplingSurfaceNormal.cpp; the default
+    reference-cloud filter, ICP.cpp:106).
+
+    TPU design: the median-split decomposition runs on host (numpy,
+    O(N log N)); per-box covariance/eigen statistics are computed on device
+    with one segment-sum + batched eigh."""
+
+    PARAMS = (
+        Param("ratio", "ratio of points to keep with random subsampling",
+              float, 0.5, min=0.0000001, max=1.0),
+        Param("knn", "number of points per box used to compute the normals "
+              "(box split threshold)", int, 7, min=3),
+        Param("samplingMethod", "0: random subsampling with ratio; 1: bin "
+              "subsampling, one point (the box centroid) per box", int, 0,
+              min=0, max=1),
+        Param("maxBoxDim", "maximum length of a box above which it is "
+              "discarded", float, "inf"),
+        Param("averageExistingDescriptors", "average existing descriptors "
+              "over the box (1) or keep the first point's (0)", bool, True),
+        Param("keepNormals", "add normals to the output", bool, True),
+        Param("keepDensities", "add densities to the output", bool, False),
+        Param("keepEigenValues", "add eigen values to the output", bool, False),
+        Param("keepEigenVectors", "add eigen vectors to the output", bool, False),
+    )
+
+    def filter(self, cloud, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        host_pts, host_descs, host_times = cloud.to_numpy()
+        n = host_pts.shape[0]
+        d = host_pts.shape[1]
+        if n == 0:
+            return cloud
+        box_ids = _median_split_boxes(host_pts, int(self.knn))
+        num_boxes = int(box_ids.max()) + 1
+
+        pts = jnp.asarray(host_pts)
+        seg = jnp.asarray(box_ids)
+        ones = jnp.ones((n,), jnp.float32)
+        counts = jax.ops.segment_sum(ones, seg, num_boxes)  # [B]
+        sums = jax.ops.segment_sum(pts, seg, num_boxes)  # [B,d]
+        means = sums / jnp.maximum(counts, 1.0)[:, None]
+        centered = pts - means[seg]
+        outer = centered[:, :, None] * centered[:, None, :]  # [n,d,d]
+        C = jax.ops.segment_sum(outer.reshape(n, d * d), seg, num_boxes)
+        C = C.reshape(num_boxes, d, d)
+        eigva, eigve = jnp.linalg.eigh(C)
+
+        box_min = jax.ops.segment_min(pts, seg, num_boxes)
+        box_max = jax.ops.segment_max(pts, seg, num_boxes)
+        box_dim = jnp.max(box_max - box_min, axis=1)
+        max_cnorm = jax.ops.segment_max(
+            jnp.linalg.norm(centered, axis=1), seg, num_boxes
+        )
+
+        lam_max = jnp.maximum(eigva[:, -1], 1e-30)
+        degenerate = eigva[:, 1] <= lam_max * 1e-9
+        unfit = jnp.logical_or(degenerate, box_dim > self.maxBoxDim)  # [B]
+
+        normals = jnp.clip(eigve[:, :, 0], -1.0, 1.0)
+        volume = (4.0 / 3.0) * math.pi * jnp.maximum(max_cnorm, 1e-12) ** 3
+        densities = counts / volume
+        ser = eigve.reshape(num_boxes, d * d)
+
+        if self.samplingMethod == 0:
+            r = jax.random.uniform(key, (n,))
+            keep = jnp.logical_and(r < self.ratio, jnp.logical_not(unfit[seg]))
+            new_pts = pts
+            desc_src = {k: jnp.asarray(v) for k, v in host_descs.items()}
+        else:
+            # one representative per box at the box mean
+            first_idx = np.zeros(num_boxes, dtype=np.int64)
+            seen = np.zeros(num_boxes, dtype=bool)
+            for i, b in enumerate(box_ids):
+                if not seen[b]:
+                    seen[b] = True
+                    first_idx[b] = i
+            keep = jnp.zeros((n,), bool).at[jnp.asarray(first_idx)].set(True)
+            keep = jnp.logical_and(keep, jnp.logical_not(unfit[seg]))
+            new_pts = means[seg]
+            desc_src = {}
+            for k, v in host_descs.items():
+                va = jnp.asarray(v)
+                if self.averageExistingDescriptors:
+                    dsum = jax.ops.segment_sum(va, seg, num_boxes)
+                    desc_src[k] = (dsum / jnp.maximum(counts, 1.0)[:, None])[seg]
+                else:
+                    desc_src[k] = va
+
+        descs = dict(desc_src)
+        if self.keepNormals:
+            descs["normals"] = normals[seg]
+        if self.keepDensities:
+            descs["densities"] = densities[seg][:, None]
+        if self.keepEigenValues:
+            descs["eigValues"] = eigva[seg]
+        if self.keepEigenVectors:
+            descs["eigVectors"] = ser[seg]
+
+        out = PointCloud(
+            new_pts,
+            keep,
+            descs,
+            {k: jnp.asarray(v) for k, v in host_times.items()},
+        )
+        return out
+
+
+@_reg
+class SphericalityDataPointsFilter(DataPointsFilter):
+    """Local shape descriptor from eigenvalues: −1 = plane … +1 = uniform
+    (reference: DataPointsFilters/Sphericality.cpp; 3D only, needs
+    'eigValues' from a prior SurfaceNormal pass)."""
+
+    PARAMS = (
+        Param("keepUnstructureness", "keep the unstructureness value", bool,
+              False),
+        Param("keepStructureness", "keep the structureness value", bool, False),
+    )
+
+    def filter(self, cloud, key=None):
+        if cloud.dim != 3:
+            raise InvalidField("SphericalityDataPointsFilter: works only in 3D")
+        if not cloud.has_descriptor("eigValues"):
+            raise InvalidField(
+                "SphericalityDataPointsFilter: no eigValues found; run "
+                "SurfaceNormalDataPointsFilter with keepEigenValues first"
+            )
+        eig = cloud.get_descriptor("eigValues")  # ascending [N,3]
+        lam1 = eig[:, 2]
+        lam2 = eig[:, 1]
+        lam3 = eig[:, 0]
+        # unstructureness: sphericality of the distribution; structureness:
+        # planarity (reference: Sphericality.cpp sphericality = unstr - str)
+        denom1 = jnp.maximum(lam1, 1e-20)
+        unstructureness = lam3 / denom1
+        denom2 = jnp.maximum(lam1 * lam2, 1e-20)
+        structureness = (lam2 / denom1) * ((lam2 - lam3) / jnp.sqrt(denom2))
+        sph = unstructureness - structureness
+        bad = jnp.logical_or(lam1 <= 0, jnp.isnan(sph))
+        sph = jnp.where(bad, jnp.nan, sph)
+        out = cloud.with_descriptor("sphericality", sph)
+        if self.keepUnstructureness:
+            out = out.with_descriptor("unstructureness", unstructureness)
+        if self.keepStructureness:
+            out = out.with_descriptor("structureness", structureness)
+        return out

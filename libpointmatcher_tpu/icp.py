@@ -1,0 +1,509 @@
+"""The ICP engines: one-shot ``ICP`` and persistent-map ``ICPSequence``.
+
+Capability parity with the reference algorithm layer
+(reference: pointmatcher/ICP.cpp, PointMatcher.h:652-764). The call structure
+mirrors ICP::compute (reference: ICP.cpp:265-452):
+
+1. reference filters → center reference at its mean (conditioning trick,
+   ICP.cpp:291-299) → matcher init;
+2. reading filters → pre-transform by T_refMean_dataIn;
+3. the fixed-point loop: step filters → transform → match → outlier weights →
+   minimize → checkers;
+4. frame composition T_refIn_refMean · T_iter · T_refMean_dataIn.
+
+TPU design — two interchangeable loop drivers sharing one traced step:
+
+- **fused**: the whole loop is a single ``lax.while_loop`` under ``jax.jit``;
+  checker decisions, the maxNumIterationsReached flag and ConvergenceError
+  conditions are data (int codes) threaded through the carry and re-raised on
+  the host afterwards. This is the production path: one device program per
+  (shape-bucket, config), zero host round-trips per iteration.
+- **stepped**: a host-driven loop calling the jitted step once per iteration;
+  used when per-iteration inspection (VTK dumps) or host-stateful step
+  filters (FixStepSampling schedules) demand it.
+"""
+
+from __future__ import annotations
+
+import io
+import time
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkers import (
+    CODE_BOUND_ERROR,
+    CODE_MAX_ITER,
+    CODE_NAN_ERROR,
+    TransformationChecker,
+    TransformationCheckerRegistrar,
+)
+from .cloud import PointCloud
+from .errors import ConfigurationError, ConvergenceError
+from .filters.base import DataPointsFilter, apply_filter_chain
+from .inspectors import Inspector, NullInspector
+from .loggers import log_info, log_warning
+from .matchers import Matcher, Matches
+from .minimizers import ErrorMinimizer, MinimizerStats, estimate_overlap
+from .outlierfilters import (
+    OutlierFilter,
+    compute_outlier_weights,
+    init_outlier_states,
+)
+from .transformations import RigidTransformation, Transformation
+from .utils import se3
+
+__all__ = ["ICP", "ICPSequence", "ICPChainBase"]
+
+CODE_NO_INLIERS = 4
+
+
+class ICPChainBase:
+    """Owns the nine module slots (reference: PointMatcher.h:652-696)."""
+
+    def __init__(self):
+        self.reading_filters: List[DataPointsFilter] = []
+        self.reading_step_filters: List[DataPointsFilter] = []
+        self.reference_filters: List[DataPointsFilter] = []
+        self.matcher: Optional[Matcher] = None
+        self.outlier_filters: List[OutlierFilter] = []
+        self.error_minimizer: Optional[ErrorMinimizer] = None
+        self.checkers: List[TransformationChecker] = []
+        self.inspector: Inspector = NullInspector()
+        self.transformations: List[Transformation] = [RigidTransformation()]
+        # introspection parity (reference: ICP.cpp:169-188)
+        self.prefiltered_reading_pts_count = 0
+        self.prefiltered_reference_pts_count = 0
+        self.max_num_iterations_reached = False
+        self.last_stats: Optional[MinimizerStats] = None
+        self.last_iteration_count = 0
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------- defaults
+    def set_default(self) -> None:
+        """The reference's canonical chain (reference: ICP.cpp:100-113)."""
+        from .filters.basic import RandomSamplingDataPointsFilter
+        from .filters.normals import SamplingSurfaceNormalDataPointsFilter
+        from .matchers import KDTreeMatcher
+        from .minimizers import PointToPlaneErrorMinimizer
+        from .outlierfilters import TrimmedDistOutlierFilter
+        from .checkers import (
+            CounterTransformationChecker,
+            DifferentialTransformationChecker,
+        )
+
+        self.reading_filters = [RandomSamplingDataPointsFilter({"prob": "0.75"})]
+        self.reading_step_filters = []
+        self.reference_filters = [
+            SamplingSurfaceNormalDataPointsFilter({"ratio": "0.8", "knn": "10"})
+        ]
+        self.matcher = KDTreeMatcher()
+        self.outlier_filters = [TrimmedDistOutlierFilter({"ratio": "0.75"})]
+        self.error_minimizer = PointToPlaneErrorMinimizer()
+        self.checkers = [
+            CounterTransformationChecker({"maxIterationCount": "40"}),
+            DifferentialTransformationChecker(
+                {"minDiffRotErr": "0.001", "minDiffTransErr": "0.001",
+                 "smoothLength": "4"}
+            ),
+        ]
+        self.inspector = NullInspector()
+        self.transformations = [RigidTransformation()]
+        self._jit_cache = {}
+
+    def load_from_yaml(self, source) -> None:
+        """Configure from a reference-format YAML pipeline
+        (reference: ICP.cpp:117-236)."""
+        from .config import configure_chain_from_yaml
+
+        configure_chain_from_yaml(self, source)
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------ utilities
+    def _require_modules(self):
+        if self.matcher is None:
+            raise RuntimeError("You must setup a matcher before running ICP")
+        if self.error_minimizer is None:
+            raise RuntimeError(
+                "You must setup an error minimizer before running ICP"
+            )
+        if self.inspector is None:
+            raise RuntimeError("You must setup an inspector before running ICP")
+
+    def get_prefiltered_reading_pts_count(self) -> int:
+        return self.prefiltered_reading_pts_count
+
+    def get_prefiltered_reference_pts_count(self) -> int:
+        return self.prefiltered_reference_pts_count
+
+    def get_max_num_iterations_reached(self) -> bool:
+        return self.max_num_iterations_reached
+
+
+def _apply_transform(transformations: Sequence[Transformation], cloud, T):
+    for t in transformations:
+        cloud = t.compute(cloud, T)
+    return cloud
+
+
+class ICP(ICPChainBase):
+    """One-shot registration engine (reference: ICP.cpp:242-452)."""
+
+    def __call__(self, reading: PointCloud, reference: PointCloud,
+                 T_init=None, seed: int = 0):
+        return self.compute(reading, reference, T_init, seed=seed)
+
+    # ------------------------------------------------------------- pipeline
+    def compute(self, reading: PointCloud, reference: PointCloud,
+                T_init=None, seed: int = 0):
+        self._require_modules()
+        self.inspector.init()
+        t0 = time.perf_counter()
+        if reading.dim != reference.dim:
+            raise RuntimeError(
+                f"reading is {reading.dim}D but reference is {reference.dim}D; "
+                "clouds must share the same dimensionality"
+            )
+        dim = reference.dim
+        if T_init is None:
+            T_init = se3.identity(dim)
+        T_init = jnp.asarray(T_init, jnp.float32)
+        if T_init.shape != (dim + 1, dim + 1):
+            raise RuntimeError(
+                "The initial transformation matrix must be (d+1)x(d+1) for "
+                f"d={dim}, got {T_init.shape}"
+            )
+
+        key = jax.random.PRNGKey(seed)
+        ref_in_count = reference.count_host()
+        reference = apply_filter_chain(
+            self.reference_filters, reference, jax.random.fold_in(key, 1)
+        )
+        # Center reference at its mean (reference: ICP.cpp:291-299).
+        mean_ref = np.asarray(
+            jax.device_get(
+                jnp.sum(
+                    jnp.where(reference.mask[:, None], reference.points, 0.0),
+                    axis=0,
+                )
+                / jnp.maximum(reference.count(), 1)
+            )
+        )
+        T_refIn_refMean = np.eye(dim + 1, dtype=np.float32)
+        T_refIn_refMean[:dim, dim] = mean_ref
+        T_refIn_refMean = jnp.asarray(T_refIn_refMean)
+        reference = reference.replace(points=reference.points - mean_ref[None, :])
+        self.matcher.init(reference)
+
+        self.inspector.add_stat(
+            "ReferencePreprocessingDuration", time.perf_counter() - t0
+        )
+        self.inspector.add_stat("ReferenceInPointCount", ref_in_count)
+        self.inspector.add_stat("ReferencePointCount", reference.count_host())
+        self.prefiltered_reference_pts_count = reference.count_host()
+
+        return self.compute_with_transformed_reference(
+            reading, reference, T_refIn_refMean, T_init, key
+        )
+
+    def compute_with_transformed_reference(
+        self, reading_in: PointCloud, reference: PointCloud,
+        T_refIn_refMean, T_init, key=None,
+    ):
+        """Loop half of the pipeline (reference: ICP.cpp:316-452);
+        ``reference`` must already be centered and the matcher initialized."""
+        dim = reference.dim
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        read_in_count = reading_in.count_host()
+        reading = apply_filter_chain(
+            self.reading_filters, reading_in, jax.random.fold_in(key, 2)
+        )
+        T_refMean_dataIn = se3.inverse(jnp.asarray(T_refIn_refMean)) @ T_init
+        reading = _apply_transform(self.transformations, reading, T_refMean_dataIn)
+
+        self.inspector.add_stat(
+            "ReadingPreprocessingDuration", time.perf_counter() - t0
+        )
+        self.inspector.add_stat("ReadingInPointCount", read_in_count)
+        self.inspector.add_stat("ReadingPointCount", reading.count_host())
+        self.prefiltered_reading_pts_count = reading.count_host()
+        t_loop = time.perf_counter()
+
+        fused = (
+            not self.reading_step_filters
+            and not self.inspector.needs_iteration_data
+        )
+        if fused:
+            T_iter, iters, code, stats = self._run_fused(
+                reading, reference, jax.random.fold_in(key, 3)
+            )
+        else:
+            T_iter, iters, code, stats = self._run_stepped(
+                reading, reference, jax.random.fold_in(key, 3)
+            )
+
+        code = int(code)
+        self.max_num_iterations_reached = code == CODE_MAX_ITER
+        self.last_iteration_count = int(iters)
+        self.last_stats = jax.device_get(stats)
+        if code == CODE_NAN_ERROR:
+            raise ConvergenceError("abs rotation/translation norm not a number")
+        if code == CODE_BOUND_ERROR:
+            raise ConvergenceError(
+                "transformation bound exceeded (BoundTransformationChecker)"
+            )
+        if code == CODE_NO_INLIERS:
+            raise ConvergenceError("ErrorMinimizer: no point to minimize")
+
+        self.inspector.add_stat("IterationsCount", int(iters))
+        self.inspector.add_stat(
+            "PointCountTouched", self.matcher.get_visit_count()
+        )
+        self.matcher.reset_visit_count()
+        self.inspector.add_stat(
+            "OverlapRatio", float(self.last_stats.weighted_point_used_ratio)
+        )
+        self.inspector.add_stat("ConvergenceDuration", time.perf_counter() - t_loop)
+        self.inspector.finish(int(iters))
+        log_info(
+            f"PointMatcher::icp - {int(iters)} iterations took "
+            f"{time.perf_counter() - t_loop:.4f} s"
+        )
+
+        # Frame composition (reference: ICP.cpp:444-448).
+        return jnp.asarray(T_refIn_refMean) @ T_iter @ T_refMean_dataIn
+
+    # ------------------------------------------------------------ the step
+    def _make_step(self, reading: PointCloud, reference: PointCloud):
+        """Build the traced per-iteration function shared by both drivers."""
+        matcher = self.matcher
+        outliers = tuple(self.outlier_filters)
+        minimizer = self.error_minimizer
+        checkers = tuple(self.checkers)
+        transformations = tuple(self.transformations)
+
+        def step(reading, reference, T_iter, checker_states, outlier_states,
+                 iteration):
+            stepped = _apply_transform(transformations, reading, T_iter)
+            matches = matcher.find_closests(stepped)
+            weights, outlier_states = compute_outlier_weights(
+                outliers, stepped, reference, matches, outlier_states
+            )
+            usable = jnp.logical_and(jnp.isfinite(matches.dists), weights != 0.0)
+            no_inliers = jnp.logical_not(jnp.any(usable))
+            T_delta, stats = minimizer.compute(stepped, reference, weights, matches)
+            T_new = T_delta @ T_iter
+            iterate = jnp.asarray(True)
+            code = jnp.int32(0)
+            new_checker_states = []
+            for chk, st in zip(checkers, checker_states):
+                st2, stop, c = chk.check(st, T_new, iteration)
+                new_checker_states.append(st2)
+                iterate = jnp.logical_and(iterate, jnp.logical_not(stop))
+                code = jnp.maximum(code, c)
+            code = jnp.where(no_inliers, CODE_NO_INLIERS, code)
+            iterate = jnp.logical_and(iterate, jnp.logical_not(no_inliers))
+            # Hard errors always stop; MAX_ITER only when counter says stop.
+            return T_new, tuple(new_checker_states), outlier_states, iterate, \
+                code, stats, matches, weights
+
+        return step
+
+    def _init_loop_state(self, dim):
+        T0 = se3.identity(dim)
+        checker_states = tuple(c.init_state(T0) for c in self.checkers)
+        outlier_states = init_outlier_states(self.outlier_filters)
+        cov0 = (
+            jnp.zeros((6, 6), jnp.float32)
+            if self.error_minimizer.PRODUCES_COVARIANCE
+            else None
+        )
+        stats0 = MinimizerStats(
+            jnp.float32(0), jnp.float32(0), jnp.float32(0), cov0
+        )
+        return T0, checker_states, outlier_states, stats0
+
+    # ------------------------------------------------------- fused while_loop
+    def _run_fused(self, reading, reference, key):
+        cache_key = (
+            "fused",
+            reading.num_points,
+            reference.num_points,
+            reading.dim,
+            reading.descriptor_labels(),
+            reference.descriptor_labels(),
+        )
+        runner = self._jit_cache.get(cache_key)
+        if runner is None:
+            step = self._make_step(reading, reference)
+
+            @jax.jit
+            def runner(reading, reference):
+                dim = reading.dim
+                T0, checker_states, outlier_states, stats0 = (
+                    self._init_loop_state(dim)
+                )
+
+                def cond(carry):
+                    _, _, _, iterate, _, _, _ = carry
+                    return iterate
+
+                def body(carry):
+                    T_iter, checker_states, outlier_states, _, iteration, \
+                        code, stats = carry
+                    T_new, checker_states, outlier_states, iterate, code2, \
+                        stats, _, _ = step(
+                            reading, reference, T_iter, checker_states,
+                            outlier_states, iteration,
+                        )
+                    return (
+                        T_new, checker_states, outlier_states, iterate,
+                        iteration + 1, jnp.maximum(code, code2), stats,
+                    )
+
+                init = (
+                    T0, checker_states, outlier_states, jnp.asarray(True),
+                    jnp.int32(0), jnp.int32(0), stats0,
+                )
+                T, _, _, _, iters, code, stats = jax.lax.while_loop(
+                    cond, body, init
+                )
+                return T, iters, code, stats
+
+            self._jit_cache[cache_key] = runner
+
+        T, iters, code, stats = runner(reading, reference)
+        n_pairs = reading.count_host() * reference.count_host()
+        iters = int(iters)
+        self.matcher.visit_count += iters * n_pairs
+        return T, iters, int(code), stats
+
+    # -------------------------------------------------------- stepped driver
+    def _run_stepped(self, reading, reference, key):
+        dim = reading.dim
+        T_iter, checker_states, outlier_states, stats = self._init_loop_state(dim)
+        for f in self.reading_step_filters:
+            f.init()
+        step = self._make_step(reading, reference)
+        jit_step = jax.jit(step)
+        iterate = True
+        iteration = 0
+        code = 0
+        while iterate:
+            step_reading = reading
+            if self.reading_step_filters:
+                step_reading = apply_filter_chain(
+                    self.reading_step_filters,
+                    reading,
+                    jax.random.fold_in(key, iteration),
+                    compact=False,
+                )
+                # shapes changed? keep same buffer size: mask-only filters
+                jit_fn = jax.jit(step)
+            else:
+                jit_fn = jit_step
+            T_new, checker_states, outlier_states, it, c, stats, matches, \
+                weights = jit_fn(
+                    step_reading, reference, T_iter, checker_states,
+                    outlier_states, jnp.int32(iteration),
+                )
+            self.matcher.visit_count += (
+                step_reading.count_host() * reference.count_host()
+            )
+            if self.inspector.needs_iteration_data:
+                stepped_vis = _apply_transform(
+                    self.transformations, step_reading, T_iter
+                )
+                self.inspector.dump_iteration(
+                    iteration, jax.device_get(T_new), reference, stepped_vis,
+                    jax.device_get(matches), jax.device_get(weights),
+                    self.checkers,
+                )
+            T_iter = T_new
+            iterate = bool(it)
+            code = max(code, int(c))
+            iteration += 1
+            if code >= CODE_NAN_ERROR:
+                break
+        return T_iter, iteration, code, stats
+
+
+class ICPSequence(ICP):
+    """Persistent-map engine: filter the map and build matcher state once,
+    then register many readings against it (reference: ICP.cpp:455-612)."""
+
+    def __init__(self):
+        super().__init__()
+        self._map: Optional[PointCloud] = None
+        self._T_refIn_refMean = None
+
+    def has_map(self) -> bool:
+        return self._map is not None
+
+    def set_map(self, cloud: PointCloud, seed: int = 0) -> bool:
+        """Center + filter the map and init the matcher
+        (reference: ICP.cpp:463-508)."""
+        self._require_modules()
+        dim = cloud.dim
+        key = jax.random.PRNGKey(seed)
+        cloud = apply_filter_chain(
+            self.reference_filters, cloud, jax.random.fold_in(key, 1)
+        )
+        mean = np.asarray(
+            jax.device_get(
+                jnp.sum(jnp.where(cloud.mask[:, None], cloud.points, 0.0), axis=0)
+                / jnp.maximum(cloud.count(), 1)
+            )
+        )
+        T = np.eye(dim + 1, dtype=np.float32)
+        T[:dim, dim] = mean
+        self._T_refIn_refMean = jnp.asarray(T)
+        cloud = cloud.replace(points=cloud.points - mean[None, :])
+        self._map = cloud
+        self.matcher.init(cloud)
+        self.prefiltered_reference_pts_count = cloud.count_host()
+        self._jit_cache = {}
+        return True
+
+    def clear_map(self) -> None:
+        self._map = None
+        self._T_refIn_refMean = None
+        self._jit_cache = {}
+
+    def get_prefiltered_internal_map(self) -> PointCloud:
+        if self._map is None:
+            raise RuntimeError("no map set")
+        return self._map
+
+    def get_prefiltered_map(self) -> PointCloud:
+        """Map expressed back in its original frame (reference: ICP.cpp:541-552)."""
+        m = self.get_prefiltered_internal_map()
+        d = m.dim
+        t = self._T_refIn_refMean[:d, d]
+        return m.replace(points=m.points + t[None, :])
+
+    # deprecated aliases (reference: ICP.cpp:553-573)
+    getInternalMap = get_prefiltered_internal_map
+    getMap = get_prefiltered_map
+
+    def __call__(self, cloud: PointCloud, T_init=None, seed: int = 0):
+        return self.compute(cloud, T_init=T_init, seed=seed)
+
+    def compute(self, reading: PointCloud, reference=None, T_init=None,
+                seed: int = 0):
+        dim = reading.dim
+        if T_init is None:
+            T_init = se3.identity(dim)
+        if self._map is None:
+            # identity when no map (reference: ICP.cpp:595-600)
+            log_warning("ICPSequence: no map, returning identity")
+            return jnp.asarray(T_init, jnp.float32)
+        return self.compute_with_transformed_reference(
+            reading, self._map, self._T_refIn_refMean,
+            jnp.asarray(T_init, jnp.float32), jax.random.PRNGKey(seed),
+        )

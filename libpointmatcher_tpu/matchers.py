@@ -1,0 +1,145 @@
+"""Matchers: associate each reading point with its nearest reference points.
+
+Capability parity with the reference matcher layer
+(reference: PointMatcher.h:470-494, MatchersImpl.{h,cpp}):
+
+- ``NullMatcher``            — empty matches (MatchersImpl.cpp:40-52)
+- ``KDTreeMatcher``          — the reference wraps a libnabo kd-tree; here the
+  same name (so reference YAML runs unchanged) is served by the exact tiled
+  brute-force sweep in :mod:`..ops.knn`, which is how nearest-neighbor search
+  maps to the MXU. ``searchType``/``epsilon`` are accepted for config parity;
+  search is always exact.
+- ``KDTreeVarDistMatcher``   — per-point match radius from a named descriptor
+  (MatchersImpl.cpp:132-150).
+
+Matches layout is row-major ``[N, knn]`` (reference uses [knn, N]): N is the
+XLA-sharded axis and knn the minor, lane-friendly axis. Invalid entries carry
+dist=+inf, id=-1 (reference: PointMatcher.h:377-378).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from .cloud import PointCloud
+from .ops.knn import knn_brute_force
+from .registry import Param, Parametrizable, Registrar
+
+__all__ = [
+    "Matches",
+    "Matcher",
+    "NullMatcher",
+    "KDTreeMatcher",
+    "KDTreeVarDistMatcher",
+    "MatcherRegistrar",
+]
+
+
+class Matches(NamedTuple):
+    """kNN result: squared distances and reference ids, both [N, knn]."""
+
+    dists: jnp.ndarray  # [N, knn] float32, squared distances, +inf = invalid
+    ids: jnp.ndarray  # [N, knn] int32, -1 = invalid
+
+    @property
+    def knn(self) -> int:
+        return self.dists.shape[1]
+
+
+class Matcher(Parametrizable):
+    """Interface (reference: PointMatcher.h:470-494)."""
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self._reference: Optional[PointCloud] = None
+        self.visit_count = 0
+
+    def init(self, reference: PointCloud) -> None:
+        """Build acceleration state for a (filtered) reference cloud."""
+        self._reference = reference
+
+    def find_closests(self, reading: PointCloud) -> Matches:
+        raise NotImplementedError
+
+    # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
+    # brute force inspects every (valid reading, valid reference) pair.
+    def get_visit_count(self) -> int:
+        return self.visit_count
+
+    def reset_visit_count(self) -> None:
+        self.visit_count = 0
+
+
+MatcherRegistrar = Registrar("Matcher")
+
+
+@MatcherRegistrar.register
+class NullMatcher(Matcher):
+    """Does nothing, returns no valid matches (reference: MatchersImpl.cpp:40-52)."""
+
+    def find_closests(self, reading: PointCloud) -> Matches:
+        n = reading.num_points
+        return Matches(
+            jnp.full((n, 1), jnp.inf, jnp.float32),
+            jnp.full((n, 1), -1, jnp.int32),
+        )
+
+
+@MatcherRegistrar.register
+class KDTreeMatcher(Matcher):
+    """Exact kNN matcher (reference: MatchersImpl.h:69-120 wraps libnabo;
+    here: MXU-tiled brute force, see module docstring)."""
+
+    PARAMS = (
+        Param("knn", "number of nearest neighbors to consider", int, 1, min=1),
+        Param("epsilon", "approximation to use for the nearest-neighbor search "
+              "(accepted for config parity; search here is always exact)",
+              float, 0.0, min=0.0),
+        Param("searchType", "kd-tree search strategy in the reference "
+              "(ignored: search is a tiled exact sweep)", int, 1, min=0, max=2),
+        Param("maxDist", "maximum distance to consider for neighbors",
+              float, "inf", min=0.0),
+    )
+
+    def find_closests(self, reading: PointCloud) -> Matches:
+        assert self._reference is not None, "matcher not initialized"
+        ref = self._reference
+        dists, ids = knn_brute_force(
+            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+        )
+        if self.maxDist != float("inf"):
+            keep = dists <= jnp.float32(self.maxDist) ** 2
+            dists = jnp.where(keep, dists, jnp.inf)
+            ids = jnp.where(keep, ids, -1)
+        return Matches(dists, ids)
+
+
+@MatcherRegistrar.register
+class KDTreeVarDistMatcher(Matcher):
+    """kNN with a per-point maximum radius taken from a reading descriptor
+    (reference: MatchersImpl.cpp:132-150)."""
+
+    PARAMS = (
+        Param("knn", "number of nearest neighbors to consider", int, 1, min=1),
+        Param("epsilon", "approximation to use for the nearest-neighbor search "
+              "(accepted for config parity; search here is always exact)",
+              float, 0.0, min=0.0),
+        Param("searchType", "kd-tree search strategy in the reference "
+              "(ignored: search is a tiled exact sweep)", int, 1, min=0, max=2),
+        Param("maxDistField", "descriptor name holding the per-point max "
+              "search radius", str, "maxSearchDist"),
+    )
+
+    def find_closests(self, reading: PointCloud) -> Matches:
+        assert self._reference is not None, "matcher not initialized"
+        ref = self._reference
+        dists, ids = knn_brute_force(
+            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+        )
+        radius = reading.get_descriptor(self.maxDistField)[:, 0]
+        keep = dists <= (radius[:, None] ** 2)
+        dists = jnp.where(keep, dists, jnp.inf)
+        ids = jnp.where(keep, ids, -1)
+        return Matches(dists, ids)

@@ -1,0 +1,6 @@
+from .sharding import (  # noqa: F401
+    make_mesh,
+    shard_cloud,
+    replicate_cloud,
+    sharded_knn,
+)

@@ -1,0 +1,104 @@
+"""PointCloud data-model tests (parity targets: utest/ui/DataPoints.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libpointmatcher_tpu import PointCloud
+from libpointmatcher_tpu.cloud import bucket_size
+from libpointmatcher_tpu.errors import InvalidField
+
+
+def make_cloud(n=10, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return PointCloud.from_numpy(rng.normal(size=(n, d)).astype(np.float32))
+
+
+def test_bucket_size():
+    assert bucket_size(1) == 256
+    assert bucket_size(256) == 256
+    assert bucket_size(257) == 512
+    assert bucket_size(1000) == 1024
+    assert bucket_size(25000) == 32768
+
+
+def test_construction_and_count():
+    c = make_cloud(100)
+    assert c.num_points == 256  # bucketed
+    assert c.count_host() == 100
+    assert c.dim == 3
+
+
+def test_descriptors_roundtrip():
+    c = make_cloud(10)
+    c = c.with_descriptor("normals", np.ones((c.num_points, 3)))
+    assert c.has_descriptor("normals")
+    assert c.get_descriptor("normals").shape == (c.num_points, 3)
+    c2 = c.without_descriptor("normals")
+    assert not c2.has_descriptor("normals")
+    with pytest.raises(InvalidField):
+        c2.get_descriptor("normals")
+
+
+def test_descriptor_1d_promoted():
+    c = make_cloud(10)
+    c = c.with_descriptor("densities", np.ones(c.num_points))
+    assert c.get_descriptor("densities").shape == (c.num_points, 1)
+
+
+def test_mask_and_compact():
+    c = make_cloud(300)
+    keep = np.zeros(c.num_points, bool)
+    keep[:50] = True
+    c2 = c.with_mask(jnp.asarray(keep))
+    assert c2.count_host() == 50
+    c3 = c2.compact()
+    assert c3.num_points == 256
+    assert c3.count_host() == 50
+    # compacted points are the first 50 valid rows
+    np.testing.assert_allclose(
+        np.asarray(c3.points[:50]), np.asarray(c.points[:50])
+    )
+
+
+def test_concatenate_keeps_common_descriptors():
+    a = make_cloud(10).with_descriptor("normals", np.ones((256, 3)))
+    b = make_cloud(20, seed=1).with_descriptor("normals", np.zeros((256, 3)))
+    b = b.with_descriptor("densities", np.ones((256, 1)))
+    c = a.concatenate(b)
+    assert c.count_host() == 30
+    assert c.has_descriptor("normals")
+    assert not c.has_descriptor("densities")
+
+
+def test_concatenate_dim_mismatch():
+    a = make_cloud(10, d=3)
+    b = make_cloud(10, d=2)
+    with pytest.raises(InvalidField):
+        a.concatenate(b)
+
+
+def test_create_similar_empty():
+    c = make_cloud(10).with_descriptor("normals", np.ones((256, 3)))
+    e = c.create_similar_empty()
+    assert e.count_host() == 0
+    assert e.has_descriptor("normals")
+
+
+def test_pytree_roundtrip():
+    import jax
+
+    c = make_cloud(10).with_descriptor("normals", np.ones((256, 3)))
+    leaves, treedef = jax.tree_util.tree_flatten(c)
+    c2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert c2.descriptor_labels() == c.descriptor_labels()
+
+    # works through jit
+    @jax.jit
+    def shift(cloud):
+        return cloud.replace(points=cloud.points + 1.0)
+
+    c3 = shift(c)
+    np.testing.assert_allclose(
+        np.asarray(c3.points), np.asarray(c.points) + 1.0, rtol=1e-6
+    )

@@ -1,0 +1,152 @@
+"""End-to-end ICP tests, mirroring the reference's IcpHelper strategy
+(reference: utest/utest.h:31-86, utest/utest.cpp:162-290)."""
+
+import numpy as np
+import pytest
+
+import libpointmatcher_tpu as pm
+from tests.conftest import validate_2d, validate_3d
+
+
+def default_icp():
+    icp = pm.ICP()
+    icp.set_default()
+    return icp
+
+
+def test_icp_default_2d(data2d, ref2d):
+    icp = default_icp()
+    T = icp(data2d, ref2d, seed=42)
+    validate_2d(T)
+
+
+def test_icp_default_3d(data3d, ref3d):
+    icp = default_icp()
+    T = icp(data3d, ref3d, seed=42)
+    validate_3d(T)
+
+
+def test_icp_identity(ref3d):
+    """Registering a cloud against itself → near identity
+    (reference: utest.cpp:200-220)."""
+    icp = default_icp()
+    T = np.asarray(icp(ref3d, ref3d, seed=7))
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=0.01)
+    assert np.linalg.norm(T[:3, 3]) < 0.02
+
+
+def test_icp_point_to_point_yaml(data3d, ref3d):
+    yaml_text = """
+readingDataPointsFilters:
+  - RandomSamplingDataPointsFilter:
+      prob: 0.5
+referenceDataPointsFilters:
+  - RandomSamplingDataPointsFilter:
+      prob: 0.5
+matcher:
+  KDTreeMatcher:
+    knn: 1
+outlierFilters:
+  - TrimmedDistOutlierFilter:
+      ratio: 0.85
+errorMinimizer:
+  PointToPointErrorMinimizer
+transformationCheckers:
+  - CounterTransformationChecker:
+      maxIterationCount: 60
+  - DifferentialTransformationChecker:
+      minDiffRotErr: 0.001
+      minDiffTransErr: 0.01
+      smoothLength: 4
+inspector:
+  NullInspector
+logger:
+  NullLogger
+"""
+    icp = pm.ICP()
+    icp.load_from_yaml(yaml_text)
+    T = icp(data3d, ref3d, seed=3)
+    validate_3d(T)
+
+
+def test_icp_with_initial_guess(data3d, ref3d, valid_t_3d):
+    icp = default_icp()
+    T = icp(data3d, ref3d, T_init=valid_t_3d, seed=11)
+    validate_3d(T)
+
+
+def test_max_iterations_flag(data3d, ref3d):
+    icp = default_icp()
+    icp.checkers = [
+        pm.TransformationCheckerRegistrar.create(
+            "CounterTransformationChecker", {"maxIterationCount": "2"}
+        )
+    ]
+    icp(data3d, ref3d, seed=5)
+    assert icp.get_max_num_iterations_reached()
+    assert icp.last_iteration_count == 2
+
+
+def test_bound_checker_raises(data3d, ref3d):
+    icp = default_icp()
+    icp.checkers.append(
+        pm.TransformationCheckerRegistrar.create(
+            "BoundTransformationChecker",
+            {"maxRotationNorm": "1e-6", "maxTranslationNorm": "1e-6"},
+        )
+    )
+    with pytest.raises(pm.ConvergenceError):
+        icp(data3d, ref3d, seed=5)
+
+
+def test_icp_sequence(data3d, ref3d):
+    """Map lifecycle invariants (reference: utest.cpp:245-290)."""
+    seq = pm.ICPSequence()
+    seq.set_default()
+    assert not seq.has_map()
+    T_no_map = np.asarray(seq(data3d))
+    np.testing.assert_allclose(T_no_map, np.eye(4), atol=1e-7)
+
+    assert seq.set_map(ref3d)
+    assert seq.has_map()
+    T = seq(data3d, seed=42)
+    validate_3d(T)
+    # second compute reuses the map
+    T2 = seq(data3d, seed=43)
+    validate_3d(T2)
+    seq.clear_map()
+    assert not seq.has_map()
+
+
+def test_unknown_yaml_section_rejected():
+    icp = pm.ICP()
+    with pytest.raises(pm.InvalidModuleType):
+        icp.load_from_yaml("bogusSection:\n  Foo\n")
+
+
+def test_unknown_module_param_rejected():
+    with pytest.raises(pm.InvalidParameter):
+        pm.MatcherRegistrar.create("KDTreeMatcher", {"nonsense": "1"})
+
+
+def test_params_to_paramless_module_rejected():
+    with pytest.raises(pm.InvalidParameter):
+        pm.MatcherRegistrar.create("NullMatcher", {"knn": "1"})
+
+
+def test_stats_exposed(data3d, ref3d):
+    icp = default_icp()
+    icp.inspector = pm.InspectorRegistrar.create("PerformanceInspector")
+    icp(data3d, ref3d, seed=42)
+    hist = icp.inspector.histograms
+    for key in (
+        "ReferencePreprocessingDuration",
+        "ReadingPreprocessingDuration",
+        "IterationsCount",
+        "PointCountTouched",
+        "OverlapRatio",
+        "ConvergenceDuration",
+    ):
+        assert key in hist, key
+    assert icp.last_stats is not None
+    assert 0.0 < float(icp.last_stats.weighted_point_used_ratio) <= 1.0

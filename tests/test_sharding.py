@@ -1,0 +1,66 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import libpointmatcher_tpu as pm
+from libpointmatcher_tpu.ops.knn import knn_brute_force
+from libpointmatcher_tpu.parallel import (
+    make_mesh,
+    replicate_cloud,
+    shard_cloud,
+    sharded_knn,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_knn_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(256, 3)).astype(np.float32)
+    r = rng.normal(size=(1024, 3)).astype(np.float32)
+    qm = np.ones(256, bool)
+    rm = np.ones(1024, bool)
+    rm[::7] = False
+    d1, i1 = knn_brute_force(q, qm, r, rm, k=3)
+    d2, i2 = sharded_knn(q, qm, r, rm, k=3, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-5, atol=1e-6)
+    # distances through ids must agree (ids can differ on ties)
+    gd1 = np.sum((q[:, None, :] - r[np.maximum(np.asarray(i1), 0)]) ** 2, axis=-1)
+    gd2 = np.sum((q[:, None, :] - r[np.maximum(np.asarray(i2), 0)]) ** 2, axis=-1)
+    np.testing.assert_allclose(gd2, gd1, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_cloud_layout(mesh):
+    c = pm.PointCloud.from_numpy(
+        np.random.default_rng(1).normal(size=(1000, 3)).astype(np.float32)
+    )
+    sc = shard_cloud(c, mesh)
+    assert sc.num_points % 8 == 0
+    assert sc.count_host() == 1000
+    rc = replicate_cloud(c, mesh)
+    assert rc.count_host() == 1000
+
+
+def test_full_icp_on_sharded_reference(mesh, data3d, ref3d):
+    """The production fused loop with the reference laid out across the mesh:
+    XLA propagates the sharding through the distance sweep and inserts the
+    collectives. Result must match the single-device run."""
+    from tests.conftest import validate_3d
+
+    icp = pm.ICP()
+    icp.set_default()
+    T_single = np.asarray(icp(data3d, ref3d, seed=42))
+
+    icp2 = pm.ICP()
+    icp2.set_default()
+    data_s = replicate_cloud(data3d, mesh)
+    ref_s = shard_cloud(ref3d, mesh)
+    T_sharded = np.asarray(icp2(data_s, ref_s, seed=42))
+    validate_3d(T_sharded)
+    np.testing.assert_allclose(T_sharded, T_single, atol=2e-2)
