@@ -1,0 +1,155 @@
+"""ETH 'Challenging datasets' evaluation protocol runner
+(reference: evaluations/eval_solution.cpp).
+
+The reference downloads the six sequences (apartment, ETH hauptgebaude,
+plain, stairs, gazebo winter, wood summer) and runs a YAML solution over all
+protocol pairs with one thread per core. This environment has no network
+egress, so the datasets must already be on disk (``--data-root``); the
+per-pair sweep — the reference's thread-per-core loop — is batched instead:
+pairs are registered back-to-back on device with shapes bucketed so the jit
+cache is shared across pairs (and across hosts, shard the pair list).
+
+Protocol CSV format: the standard ``local_frame`` validation files with
+``reading``/``reference`` cloud names and iTxy initial + gTxy ground-truth
+transforms (parsed by :mod:`..io.filelist`)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import libpointmatcher_tpu as pm
+from libpointmatcher_tpu.errors import ConvergenceError
+from libpointmatcher_tpu.io.filelist import load_file_info_vector
+from libpointmatcher_tpu.utils import se3
+
+SEQUENCES = [
+    "apartment", "eth", "plain", "stairs", "gazebo", "wood",
+]
+
+
+def pose_errors(T_est: np.ndarray, T_gt: np.ndarray):
+    """Translation [m] and rotation [rad] error of T_est vs ground truth."""
+    d = T_est.shape[0] - 1
+    dT = np.linalg.inv(T_gt) @ T_est
+    trans_err = float(np.linalg.norm(dT[:d, d]))
+    R = dT[:d, :d]
+    if d == 3:
+        ang = float(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+    else:
+        ang = float(abs(np.arctan2(R[1, 0], R[0, 0])))
+    return trans_err, ang
+
+
+def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
+                      limit: int = 0, seed: int = 0):
+    infos = load_file_info_vector(protocol_csv, data_path=data_path)
+    if limit:
+        infos = infos[:limit]
+    icp = pm.ICP()
+    with open(config_yaml) as f:
+        yaml_text = f.read()
+
+    results = []
+    cache = {}
+    for i, info in enumerate(infos):
+        if info.reference is None:
+            continue
+        reading = cache.get(info.reading)
+        if reading is None:
+            reading = cache[info.reading] = pm.io.load(info.reading)
+        reference = cache.get(info.reference)
+        if reference is None:
+            reference = cache[info.reference] = pm.io.load(info.reference)
+        # fresh chain per pair (stateful modules reset), same jit cache via
+        # bucketed shapes
+        icp = pm.ICP()
+        icp.load_from_yaml(yaml_text)
+        T_init = (
+            np.asarray(info.initial_transformation, np.float32)
+            if info.initial_transformation is not None else None
+        )
+        t0 = time.perf_counter()
+        try:
+            T = np.asarray(icp(reading, reference, T_init=T_init,
+                               seed=seed + i))
+            err = None
+        except ConvergenceError as e:
+            T = np.eye(reading.dim + 1)
+            err = str(e)
+        wall = time.perf_counter() - t0
+        row = {
+            "pair": i,
+            "reading": os.path.basename(info.reading),
+            "reference": os.path.basename(info.reference),
+            "T": T.tolist(),
+            "time_s": wall,
+            "iterations": icp.last_iteration_count,
+            "error": err,
+        }
+        if info.ground_truth_transformation is not None:
+            te, re_ = pose_errors(
+                T, np.asarray(info.ground_truth_transformation)
+            )
+            row["trans_err"] = te
+            row["rot_err"] = re_
+        results.append(row)
+        print(
+            f"[{i + 1}/{len(infos)}] {row['reading']}→{row['reference']} "
+            f"{wall:.3f}s"
+            + (f" terr={row.get('trans_err', float('nan')):.4f}"
+               f" rerr={row.get('rot_err', float('nan')):.4f}"
+               if "trans_err" in row else "")
+        )
+    return results
+
+
+def summarize(results):
+    te = [r["trans_err"] for r in results if "trans_err" in r]
+    re_ = [r["rot_err"] for r in results if "rot_err" in r]
+    ts = [r["time_s"] for r in results]
+    out = {
+        "pairs": len(results),
+        "failed": sum(1 for r in results if r["error"]),
+        "mean_time_s": float(np.mean(ts)) if ts else None,
+        "registrations_per_s": float(1.0 / np.mean(ts)) if ts else None,
+    }
+    if te:
+        out.update(
+            median_trans_err=float(np.median(te)),
+            p95_trans_err=float(np.quantile(te, 0.95)),
+            median_rot_err=float(np.median(re_)),
+            p95_rot_err=float(np.quantile(re_, 0.95)),
+        )
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Run a YAML solution over an evaluation protocol."
+    )
+    p.add_argument("protocol", help="protocol CSV (reading/reference/iT/gT)")
+    p.add_argument("config", help="solution YAML "
+                   "(e.g. the reference's official_solutions/*.yaml)")
+    p.add_argument("--data-root", default="", help="directory of the clouds")
+    p.add_argument("--limit", type=int, default=0, help="max pairs (0 = all)")
+    p.add_argument("--output", default="eval_results.json")
+    args = p.parse_args(argv)
+
+    results = evaluate_protocol(
+        args.protocol, args.config, args.data_root, args.limit
+    )
+    summary = summarize(results)
+    with open(args.output, "w") as f:
+        json.dump({"summary": summary, "results": results}, f, indent=1)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

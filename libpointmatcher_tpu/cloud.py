@@ -33,18 +33,49 @@ import numpy as np
 
 from .errors import InvalidField
 
-__all__ = ["PointCloud", "bucket_size"]
+__all__ = ["PointCloud", "bucket_size", "split_int64", "merge_int64"]
+
+
+def split_int64(arr) -> np.ndarray:
+    """int64 [N, k] → int32 [N, 2k] (high, low interleaved).
+
+    JAX runs with 32-bit default types; storing nanosecond timestamps on
+    device would silently truncate. The reference hits the same wall in VTK
+    files and splits into 32-bit halves (reference: IO.cpp:1106-1236); we use
+    the same representation as the in-memory device format."""
+    arr = np.asarray(arr, dtype=np.int64)
+    hi = (arr >> 32).astype(np.int32)
+    lo = (arr & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    out = np.empty((arr.shape[0], arr.shape[1] * 2), np.int32)
+    out[:, 0::2] = hi
+    out[:, 1::2] = lo
+    return out
+
+
+def merge_int64(arr) -> np.ndarray:
+    """int32 [N, 2k] (high, low interleaved) → int64 [N, k]."""
+    arr = np.asarray(arr, dtype=np.int32)
+    hi = arr[:, 0::2].astype(np.int64)
+    lo = arr[:, 1::2].view(np.uint32).astype(np.int64)
+    return (hi << 32) | lo
 
 
 def bucket_size(n: int, granule: int = 256) -> int:
     """Round ``n`` up to a jit-cache-friendly bucket.
 
-    Buckets are powers of two of ``granule`` so distinct cloud sizes map to a
-    small number of compiled programs (the reference recompiles nothing, but
-    pays dynamic allocation instead; XLA wants static shapes)."""
+    Buckets follow a 1-1.5-2 geometric ladder (256, 384, 512, 768, 1024, …)
+    so distinct cloud sizes map to a small number of compiled programs (the
+    reference recompiles nothing but pays dynamic allocation; XLA wants
+    static shapes) while capping padding waste at 33% — compute cost in the
+    matcher is O(N_alloc·M_alloc), so padding is paid quadratically."""
     if n <= granule:
         return granule
-    return granule * (2 ** math.ceil(math.log2(n / granule)))
+    p = granule * (2 ** math.floor(math.log2(n / granule)))
+    if n <= p:
+        return p
+    if n <= (p * 3) // 2:
+        return (p * 3) // 2
+    return 2 * p
 
 
 @jax.tree_util.register_pytree_node_class
@@ -146,18 +177,26 @@ class PointCloud:
         return PointCloud(self.points, self.mask, new, self.times)
 
     def with_time(self, name: str, value) -> "PointCloud":
-        value = jnp.asarray(value)
+        """Add an int64 time channel (stored split into int32 words)."""
+        value = np.asarray(value)
         if value.ndim == 1:
             value = value[:, None]
+        if value.dtype == np.int64:
+            value = split_int64(value)
         new = dict(self.times)
-        new[name] = value
+        new[name] = jnp.asarray(value, jnp.int32)
         return PointCloud(self.points, self.mask, self.descriptors, new)
+
+    def get_time(self, name: str) -> np.ndarray:
+        """Host-side int64 view of a time channel."""
+        return merge_int64(np.asarray(jax.device_get(self.times[name])))
 
     def descriptor_labels(self) -> Tuple[Tuple[str, int], ...]:
         return tuple((k, int(v.shape[1])) for k, v in self.descriptors.items())
 
     def time_labels(self) -> Tuple[Tuple[str, int], ...]:
-        return tuple((k, int(v.shape[1])) for k, v in self.times.items())
+        # stored split into (high, low) int32 pairs → logical span is half
+        return tuple((k, int(v.shape[1]) // 2) for k, v in self.times.items())
 
     # ------------------------------------------------------------- structure
     def replace(self, **kw) -> "PointCloud":
@@ -227,12 +266,15 @@ class PointCloud:
 
     # -------------------------------------------------------------- numpy IO
     def to_numpy(self):
-        """Return (points[N_valid,d], descriptors, times) as numpy, valid rows only."""
+        """Return (points[N_valid,d], descriptors, times) as numpy, valid rows
+        only; time channels come back as int64."""
         host = jax.device_get(self)
         mask = np.asarray(host.mask)
         pts = np.asarray(host.points)[mask]
         descs = {k: np.asarray(v)[mask] for k, v in host.descriptors.items()}
-        times = {k: np.asarray(v)[mask] for k, v in host.times.items()}
+        times = {
+            k: merge_int64(np.asarray(v)[mask]) for k, v in host.times.items()
+        }
         return pts, descs, times
 
     @staticmethod
@@ -257,7 +299,9 @@ class PointCloud:
             v = np.asarray(v)
             if v.ndim == 1:
                 v = v[:, None]
-            buf = np.zeros((cap, v.shape[1]), v.dtype)
+            if v.dtype != np.int32:
+                v = split_int64(v)
+            buf = np.zeros((cap, v.shape[1]), np.int32)
             buf[:n] = v
             tms[k] = buf
         return PointCloud(pts, mask, descs, tms)

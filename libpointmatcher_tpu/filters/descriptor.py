@@ -1,5 +1,286 @@
-"""Descriptor-computing filters: RemoveSensorBias, Gestalt descriptors, etc.
-
-Filled in progressively; see ``filters/__init__`` for the registry."""
+"""Descriptor-computing filters: Gestalt keypoint descriptors and
+physical sensor-bias removal."""
 
 from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import PointCloud
+from ..errors import InvalidField, InvalidParameter
+from ..registry import Param
+from .base import DataPointsFilter, DataPointsFilterRegistrar
+
+_reg = DataPointsFilterRegistrar.register
+
+
+@_reg
+class GestaltDataPointsFilter(DataPointsFilter):
+    """Gestalt keypoint descriptors (reference:
+    DataPointsFilters/Gestalt.cpp, \\cite{Bosse2013Gestalt}): voxel-binned
+    keypoints, each described by 4 radial x 8 angular bins of neighbor-height
+    means/variances in a normal-oriented frame.
+
+    TPU design: keypoint selection + box neighborhoods are one vectorized
+    pass ([K, N] box masks); covariance/eigen and the 32-bin statistics are
+    batched segment reductions on device."""
+
+    PARAMS = (
+        Param("ratio", "ratio of keypoints to keep with random subsampling",
+              float, 0.1, min=0.0000001, max=0.9999999),
+        Param("radius", "radius of the gestalt descriptor; divided into 4 "
+              "circular and 8 radial bins = 32 bins", float, 5.0, min=0.1),
+        Param("knn", "box-split threshold (accepted for parity with the "
+              "reference's normal estimation path)", int, 7, min=3),
+        Param("vSizeX", "keypoint voxel size in x", float, 1.0),
+        Param("vSizeY", "keypoint voxel size in y", float, 1.0),
+        Param("vSizeZ", "keypoint voxel size in z", float, 1.0),
+        Param("keepMeans", "add neighborhood means", bool, False),
+        Param("maxBoxDim", "maximum box length above which it is discarded",
+              float, "inf"),
+        Param("averageExistingDescriptors", "average existing descriptors",
+              bool, True),
+        Param("maxTimeWindow", "maximum time spread of a surfel", float, "inf"),
+        Param("keepNormals", "add normals", bool, True),
+        Param("keepEigenValues", "add eigen values", bool, False),
+        Param("keepEigenVectors", "add eigen vectors", bool, False),
+        Param("keepCovariances", "add covariances", bool, False),
+        Param("keepGestaltFeatures", "add the Gestalt features", bool, True),
+    )
+
+    def filter(self, cloud, key=None):
+        if cloud.dim != 3:
+            raise InvalidField("GestaltDataPointsFilter: 3D only")
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        host_pts, host_descs, host_times = cloud.to_numpy()
+        n = host_pts.shape[0]
+        if n == 0:
+            return cloud
+
+        # 1. keypoints: one per occupied voxel, then ratio subsample
+        vsize = np.array([self.vSizeX, self.vSizeY, self.vSizeZ])
+        idx3 = np.floor(host_pts / vsize).astype(np.int64)
+        idx3 -= idx3.min(axis=0)
+        dims = idx3.max(axis=0) + 1
+        lin = idx3[:, 0] + idx3[:, 1] * dims[0] + idx3[:, 2] * dims[0] * dims[1]
+        _, first_idx = np.unique(lin, return_index=True)
+        rng = np.random.default_rng(np.asarray(jax.random.key_data(key))[-1])
+        keep_mask = rng.random(len(first_idx)) < self.ratio
+        kp_idx = first_idx[keep_mask]
+        if len(kp_idx) == 0:
+            kp_idx = first_idx[:1]
+        K = len(kp_idx)
+
+        pts = jnp.asarray(host_pts)
+        kp = pts[jnp.asarray(kp_idx)]  # [K, 3]
+
+        # 2. box neighborhoods of ±radius around each keypoint
+        diff = pts[None, :, :] - kp[:, None, :]  # [K, N, 3]
+        inbox = jnp.all(jnp.abs(diff) <= self.radius, axis=-1)  # [K, N]
+        selfmask = jnp.any(diff != 0.0, axis=-1)
+        nb = jnp.logical_and(inbox, selfmask)
+        count = jnp.maximum(jnp.sum(nb, axis=1), 1)  # [K]
+
+        w = nb.astype(jnp.float32)[:, :, None]
+        mean = jnp.sum(pts[None] * w, axis=1) / count[:, None]
+        centered = (pts[None] - mean[:, None, :]) * w
+        C = jnp.einsum("knd,kne->kde", centered, centered)
+        eigva, eigve = jnp.linalg.eigh(C)
+
+        normal = eigve[:, :, 0]
+        s = jnp.maximum(jnp.sum(eigva, axis=1), 1e-30)
+        # sorted ascending: planarity = 2(λ1-λ0)/Σ, cylindricality = (λ2-λ1)/Σ
+        planarity = 2.0 * (eigva[:, 1] - eigva[:, 0]) / s
+        cylindricality = (eigva[:, 2] - eigva[:, 1]) / s
+
+        up = jnp.array([0.0, 0.0, 1.0])
+        nx = normal * jnp.array([1.0, 1.0, 0.0])
+        nx = nx / jnp.maximum(jnp.linalg.norm(nx, axis=1, keepdims=True), 1e-12)
+        ny = jnp.cross(jnp.broadcast_to(up, nx.shape), nx)
+        ny = ny / jnp.maximum(jnp.linalg.norm(ny, axis=1, keepdims=True), 1e-12)
+        basis = jnp.stack([nx, ny, jnp.broadcast_to(up, nx.shape)], axis=2)  # [K,3,3]
+
+        warped = jnp.einsum("knd,kde->kne", diff, basis)  # [K, N, 3]
+        heights = warped[:, :, 2]
+        radii = jnp.linalg.norm(warped[:, :, :2], axis=-1)
+        angles = jnp.mod(
+            jnp.arctan2(warped[:, :, 1], warped[:, :, 0]) + 2 * math.pi,
+            2 * math.pi,
+        )
+
+        rbin = jnp.clip((radii / (self.radius / 4)).astype(jnp.int32), 0, 3)
+        abin = jnp.clip((angles / (math.pi / 4)).astype(jnp.int32), 0, 7)
+        binid = rbin * 8 + abin  # [K, N] in [0, 32)
+        onehot = jax.nn.one_hot(binid, 32, dtype=jnp.float32) * nb[:, :, None].astype(jnp.float32)
+        nvals = jnp.sum(onehot, axis=1)  # [K, 32]
+        hsum = jnp.sum(onehot * heights[:, :, None], axis=1)
+        gmeans = hsum / jnp.maximum(nvals, 1.0)
+        dev2 = (heights[:, :, None] - gmeans[:, None, :]) ** 2
+        gvars = jnp.sum(onehot * dev2, axis=1)
+
+        # propagate empty outer bins from the next inner radial bin
+        gm = gmeans.reshape(K, 4, 8)
+        gv = gvars.reshape(K, 4, 8)
+        for radial in range(1, 4):
+            empty = gm[:, radial, :] == 0
+            gm = gm.at[:, radial, :].set(
+                jnp.where(empty, gm[:, radial - 1, :], gm[:, radial, :])
+            )
+            gv = gv.at[:, radial, :].set(
+                jnp.where(empty, gv[:, radial - 1, :], gv[:, radial, :])
+            )
+        gmeans = gm.reshape(K, 32)
+        gvars = gv.reshape(K, 32)
+
+        # discards (reference: planarity > 0.9, normal within 10° of vertical,
+        # empty neighborhood)
+        vert_angle = jnp.arccos(jnp.clip(jnp.abs(normal[:, 2]), -1.0, 1.0))
+        ok = jnp.logical_and(planarity <= 0.9, vert_angle >= 10 * math.pi / 180)
+        ok = jnp.logical_and(ok, jnp.sum(nb, axis=1) > 0)
+
+        descs = {}
+        base_descs = {k: v[kp_idx] for k, v in host_descs.items()}
+        descs.update({k: jnp.asarray(v) for k, v in base_descs.items()})
+        if self.keepNormals:
+            descs["normals"] = normal
+        if self.keepMeans:
+            descs["means"] = mean
+        if self.keepEigenValues:
+            descs["eigValues"] = eigva
+        if self.keepEigenVectors:
+            descs["eigVectors"] = eigve.reshape(K, 9)
+        if self.keepCovariances:
+            descs["covariance"] = C.reshape(K, 9)
+        if self.keepGestaltFeatures:
+            descs["gestaltMeans"] = gmeans
+            descs["gestaltVariances"] = gvars
+            descs["warpedXYZ"] = jnp.zeros((K, 3), jnp.float32)
+            descs["gestaltShapes"] = jnp.stack([planarity, cylindricality], axis=1)
+
+        times = {}
+        if host_times:
+            tname = next(iter(host_times))
+            tv = host_times[tname][:, 0]
+            nbh = np.asarray(nb)
+            tmin = np.zeros(K, np.int64)
+            tmax = np.zeros(K, np.int64)
+            tmean = np.zeros(K, np.int64)
+            for ki in range(K):
+                sel = tv[nbh[ki]]
+                if len(sel):
+                    tmin[ki], tmax[ki] = sel.min(), sel.max()
+                    tmean[ki] = int(sel.mean())
+            times[tname] = np.stack([tmin, tmax, tmean], axis=1)
+
+        from ..cloud import split_int64
+
+        return PointCloud(
+            kp, ok, descs,
+            {k: jnp.asarray(split_int64(v)) for k, v in times.items()},
+        )
+
+
+@_reg
+class RemoveSensorBiasDataPointsFilter(DataPointsFilter):
+    """Correct the range bias induced by the laser incidence angle
+    (reference: DataPointsFilters/RemoveSensorBias.{h,cpp},
+    \\cite{Laconte2019SensorBias}). Requires 'incidenceAngles' and
+    'observationDirections'; points whose incidence exceeds angleThreshold
+    (or is NaN) are removed, the rest shifted along the view ray by the
+    physical correction k1·ΔT + k2·curvature-ratio."""
+
+    PARAMS = (
+        Param("sensorType", "0=Sick LMS-1xx, 1=Velodyne HDL-32E", int, 0,
+              min=0, max=1),
+        Param("angleThreshold", "max incidence angle at which the correction "
+              "is applied [deg]", float, 88.0, min=0.0, max=90.0),
+    )
+
+    # (aperture, k1, k2) per sensor (reference: RemoveSensorBias.h:108-114)
+    _SENSORS = {
+        0: (0.0075049, 6.08040951e0, 3.17921789e-3),
+        1: (0.0014835, 1.03211569e1, 7.07893371e-3),
+    }
+    _TAU = 50e-9
+    _PULSE_INTENSITY = 0.39
+    _LAMBDA = 905e-9
+    _C = 299792458.0
+
+    def _coefficients(self, depth, theta, aperture):
+        sigma = self._TAU / math.sqrt(2.0 * math.pi)
+        w0 = self._LAMBDA / (math.pi * aperture)
+        c = self._C
+        tan_t = np.tan(theta)
+        cos_t = np.cos(theta)
+        sin_t = np.sin(theta)
+        A = 2.0 * (depth * tan_t) ** 2 / (sigma * c) ** 2 + 2.0 / aperture**2
+        K1 = cos_t**3
+        K2 = 3.0 * cos_t**2 * sin_t
+        from scipy.special import erf
+
+        L1 = (
+            self._PULSE_INTENSITY * (w0 / (aperture * depth * cos_t)) ** 2
+            * math.sqrt(math.pi) * erf(aperture * np.sqrt(A))
+            / (2.0 * A ** 1.5)
+        )
+        L2 = self._PULSE_INTENSITY * (w0 / (aperture * depth * cos_t)) ** 2 * K2 / (2.0 * A)
+        a0 = 2.0 * A * K1 * L1
+        a1 = -(2.0 * tan_t * depth
+               * (L1 * K2 - 2.0 * L2 * aperture * np.exp(-A * aperture**2))) \
+            / (sigma**2 * c)
+        a2 = -L1 * 2.0 * A * K1 * (
+            (sigma * c * cos_t) ** 2 * A + 2.0 * (cos_t * depth) ** 2
+            - 2.0 * depth**2
+        ) / (2.0 * (c * cos_t) ** 2 * sigma**4 * A)
+        a3 = L1 * K2 * depth * tan_t * (
+            (sigma * c) ** 2 * A - 2.0 * (depth * tan_t) ** 2
+        ) / (sigma**6 * c**3 * A)
+        return a0, a1, a2, a3
+
+    def filter(self, cloud, key=None):
+        if not cloud.has_descriptor("incidenceAngles"):
+            raise InvalidField(
+                "RemoveSensorBiasDataPointsFilter: cannot find incidence "
+                "angles in descriptors"
+            )
+        if not cloud.has_descriptor("observationDirections"):
+            raise InvalidField(
+                "RemoveSensorBiasDataPointsFilter: cannot find "
+                "observationDirections in descriptors"
+            )
+        aperture, k1, k2 = self._SENSORS[self.sensorType]
+        thr = self.angleThreshold / 180.0 * math.pi
+
+        host_pts, host_descs, host_times = cloud.to_numpy()
+        inc = host_descs["incidenceAngles"][:, 0].astype(np.float64)
+        obs = host_descs["observationDirections"].astype(np.float64)
+        depth = np.linalg.norm(obs, axis=1)
+        keep = np.isfinite(inc) & (inc >= 0.0) & (inc < thr) & (depth > 1e-9)
+
+        theta = np.clip(inc[keep], 1e-6, None)
+        dep = depth[keep]
+        a0, a1, a2, a3 = self._coefficients(dep, theta, aperture)
+        with np.errstate(invalid="ignore"):
+            disc = np.sqrt(np.maximum(4.0 * a2**2 - 12.0 * a1 * a3, 0.0))
+            tmax = (-2.0 * a2 - disc) / (6.0 * a3)
+        small = inc[keep] < 1e-5
+        tmax = np.where(small, 0.0, tmax)
+        diff_dist = tmax * self._C / 2.0
+        b0, b1, b2, b3 = self._coefficients(dep, np.zeros_like(theta), aperture)
+        ratio_curv = np.where(
+            small, 0.0, 1.0 - 2.0 * b2 / (2.0 * a2 + 6.0 * tmax * a3)
+        )
+        correction = k1 * diff_dist + k2 * ratio_curv
+
+        new_pts = host_pts.copy()
+        unit = obs[keep] / dep[:, None]
+        new_pts[keep] += (correction[:, None] * unit).astype(np.float32)
+        return PointCloud.from_numpy(
+            new_pts[keep],
+            {k: v[keep] for k, v in host_descs.items()},
+            {k: v[keep] for k, v in host_times.items()},
+        )

@@ -106,14 +106,34 @@ class KDTreeMatcher(Matcher):
     def find_closests(self, reading: PointCloud) -> Matches:
         assert self._reference is not None, "matcher not initialized"
         ref = self._reference
-        dists, ids = knn_brute_force(
-            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
-        )
+        if self.knn == 1 and _use_pallas():
+            from .ops.knn_pallas import knn1_pallas
+
+            d1, i1 = knn1_pallas(
+                reading.points, reading.mask, ref.points, ref.mask
+            )
+            dists, ids = d1[:, None], i1[:, None]
+        else:
+            dists, ids = knn_brute_force(
+                reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+            )
         if self.maxDist != float("inf"):
             keep = dists <= jnp.float32(self.maxDist) ** 2
             dists = jnp.where(keep, dists, jnp.inf)
             ids = jnp.where(keep, ids, -1)
         return Matches(dists, ids)
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas kernels only on real TPU backends (the axon PJRT plugin
+    reports itself as such); the XLA scan path serves CPU/GPU."""
+    import jax
+
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return "tpu" in plat or "axon" in plat
 
 
 @MatcherRegistrar.register

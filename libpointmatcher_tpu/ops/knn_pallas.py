@@ -1,0 +1,109 @@
+"""Pallas TPU kernel for fused 1-NN: distance tiles never leave VMEM.
+
+The XLA scan formulation in :mod:`.knn` materializes each [N, TILE_M]
+distance block to HBM before reducing it (~4 GB of traffic for 32k x 32k).
+This kernel computes the block in VMEM, folds the running (min, argmin) in
+place, and writes only the final [N] results — HBM traffic drops to reading
+the two point sets once per sweep. The dot products ride the MXU with the
+coordinate dimension zero-padded to the 128 lane width (same wall time as
+K=3 at ~2% utilization, but trivially fused with the VPU reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["knn1_pallas"]
+
+_DPAD = 8  # coordinate dim padded to the f32 sublane width
+
+
+def _nn1_kernel(q_ref, r_ref, q2_ref, r2_ref, out_d_ref, out_i_ref):
+    j = pl.program_id(1)
+    tile_m = r_ref.shape[0]
+
+    # [TQ, TM] squared distances for this block, entirely in VMEM.
+    dots = jnp.dot(
+        q_ref[:], r_ref[:].T, preferred_element_type=jnp.float32
+    )
+    d2 = q2_ref[:] + r2_ref[:] - 2.0 * dots  # r2 carries +inf for masked rows
+
+    td = jnp.min(d2, axis=1)  # [TQ]
+    ti = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * tile_m
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[:, 0] = td
+        out_i_ref[:, 0] = ti
+
+    @pl.when(j > 0)
+    def _():
+        prev_d = out_d_ref[:, 0]
+        prev_i = out_i_ref[:, 0]
+        take = td < prev_d
+        out_d_ref[:, 0] = jnp.where(take, td, prev_d)
+        out_i_ref[:, 0] = jnp.where(take, ti, prev_i)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_m"))
+def knn1_pallas(query, query_mask, ref, ref_mask,
+                tile_q: int = 512, tile_m: int = 2048):
+    """Exact 1-NN: ``(dists2 [N], ids [N])`` with (+inf, -1) for invalid
+    queries / no valid reference. Equivalent to
+    ``knn_brute_force(..., k=1)`` squeezed."""
+    n, d = query.shape
+    m = ref.shape[0]
+    n_pad = ((n + tile_q - 1) // tile_q) * tile_q
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+
+    qp = jnp.zeros((n_pad, _DPAD), jnp.float32).at[:n, :d].set(query)
+    rp = jnp.zeros((m_pad, _DPAD), jnp.float32).at[:m, :d].set(ref)
+    q2 = jnp.sum(qp * qp, axis=1, keepdims=True)  # [n_pad, 1]
+    r2 = jnp.sum(rp * rp, axis=1)  # [m_pad]
+    rmask_p = jnp.zeros((m_pad,), bool).at[:m].set(ref_mask)
+    r2 = jnp.where(rmask_p, r2, jnp.inf)[None, :]  # [1, m_pad]
+
+    grid = (n_pad // tile_q, m_pad // tile_m)
+    out_d, out_i = pl.pallas_call(
+        _nn1_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, _DPAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, _DPAD), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_pad * _DPAD + 4 * n_pad * m_pad,
+            bytes_accessed=4 * (n_pad + m_pad) * _DPAD
+            + 8 * n_pad * (m_pad // tile_m),
+            transcendentals=0,
+        ),
+    )(qp, rp, q2, r2)
+
+    best_d = out_d[:n, 0]
+    best_i = out_i[:n, 0]
+    finite = jnp.isfinite(best_d)
+    best_d = jnp.where(query_mask, best_d, jnp.inf)
+    best_i = jnp.where(jnp.logical_and(query_mask, finite), best_i, -1)
+    return best_d, best_i

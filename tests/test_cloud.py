@@ -17,8 +17,10 @@ def make_cloud(n=10, d=3, seed=0):
 def test_bucket_size():
     assert bucket_size(1) == 256
     assert bucket_size(256) == 256
-    assert bucket_size(257) == 512
+    assert bucket_size(257) == 384
+    assert bucket_size(400) == 512
     assert bucket_size(1000) == 1024
+    assert bucket_size(18700) == 24576
     assert bucket_size(25000) == 32768
 
 

@@ -1,0 +1,443 @@
+"""Per-filter unit tests (parity target: utest/ui/DataFilters.cpp:
+construct via registrar, apply to fixture or random cloud, assert point
+counts / descriptor presence / value invariants)."""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+import libpointmatcher_tpu as pm
+from libpointmatcher_tpu import DataPointsFilterRegistrar as Reg
+from libpointmatcher_tpu.errors import InvalidField, InvalidParameter
+
+
+def random_cloud(n=1000, d=3, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return pm.PointCloud.from_numpy(
+        (rng.uniform(0, 1, size=(n, d)) * scale).astype(np.float32)
+    )
+
+
+KEY = jax.random.PRNGKey(0)
+
+
+def apply(name, params, cloud, key=KEY):
+    f = Reg.create(name, params)
+    return f.filter(cloud, key=key)
+
+
+# ------------------------------------------------------------------ removal
+def test_identity():
+    c = random_cloud()
+    out = apply("IdentityDataPointsFilter", {}, c)
+    assert out.count_host() == c.count_host()
+
+
+def test_remove_nan():
+    pts = np.random.rand(100, 3).astype(np.float32)
+    pts[5, 1] = np.nan
+    pts[17, 0] = np.inf
+    c = pm.PointCloud.from_numpy(pts)
+    out = apply("RemoveNaNDataPointsFilter", {}, c)
+    assert out.count_host() == 98
+
+
+@pytest.mark.parametrize("dim", [-1, 0, 1, 2])
+def test_max_dist(dim):
+    c = random_cloud(scale=2.0)
+    out = apply("MaxDistDataPointsFilter", {"dim": str(dim), "maxDist": "1.0"}, c)
+    pts, _, _ = out.to_numpy()
+    if dim == -1:
+        assert np.all(np.linalg.norm(pts, axis=1) < 1.0)
+    else:
+        assert np.all(pts[:, dim] < 1.0)
+    assert 0 < out.count_host() < c.count_host()
+
+
+def test_min_dist():
+    c = random_cloud(scale=2.0)
+    out = apply("MinDistDataPointsFilter", {"dim": "-1", "minDist": "1.0"}, c)
+    pts, _, _ = out.to_numpy()
+    assert np.all(np.linalg.norm(pts, axis=1) > 1.0)
+
+
+def test_distance_limit_inside_outside():
+    c = random_cloud(scale=2.0)
+    inside = apply("DistanceLimitDataPointsFilter",
+                   {"dim": "-1", "dist": "1.0", "removeInside": "0"}, c)
+    outside = apply("DistanceLimitDataPointsFilter",
+                    {"dim": "-1", "dist": "1.0", "removeInside": "1"}, c)
+    assert inside.count_host() + outside.count_host() == c.count_host()
+
+
+def test_bounding_box():
+    c = random_cloud(scale=2.0)
+    p = {"xMin": "0.5", "xMax": "1.5", "yMin": "0.5", "yMax": "1.5",
+         "zMin": "0.5", "zMax": "1.5"}
+    removed_in = apply("BoundingBoxDataPointsFilter",
+                       {**p, "removeInside": "1"}, c)
+    kept_in = apply("BoundingBoxDataPointsFilter",
+                    {**p, "removeInside": "0"}, c)
+    assert removed_in.count_host() + kept_in.count_host() == c.count_host()
+    pts, _, _ = kept_in.to_numpy()
+    assert np.all((pts > 0.5) & (pts < 1.5))
+
+
+def test_max_quantile_on_axis():
+    c = random_cloud(n=2000)
+    out = apply("MaxQuantileOnAxisDataPointsFilter",
+                {"dim": "0", "ratio": "0.5"}, c)
+    assert out.count_host() == pytest.approx(1000, abs=60)
+
+
+def test_random_sampling():
+    c = random_cloud(n=4000)
+    out = apply("RandomSamplingDataPointsFilter", {"prob": "0.25"}, c)
+    assert out.count_host() == pytest.approx(1000, abs=150)
+
+
+def test_max_point_count():
+    c = random_cloud(n=2000)
+    out = apply("MaxPointCountDataPointsFilter",
+                {"maxCount": "500", "seed": "3"}, c)
+    assert out.count_host() == 500
+    # deterministic for a fixed seed
+    out2 = apply("MaxPointCountDataPointsFilter",
+                 {"maxCount": "500", "seed": "3"}, c)
+    np.testing.assert_array_equal(
+        out.to_numpy()[0], out2.to_numpy()[0]
+    )
+    # no-op when below the cap
+    small = random_cloud(n=100)
+    assert apply("MaxPointCountDataPointsFilter", {"maxCount": "500"},
+                 small).count_host() == 100
+
+
+def test_fix_step_sampling_schedule():
+    f = Reg.create("FixStepSamplingDataPointsFilter",
+                   {"startStep": "4", "endStep": "1", "stepMult": "0.5"})
+    c = random_cloud(n=1000)
+    out1 = f.filter(c)
+    assert out1.count_host() == 250
+    out2 = f.filter(c)  # step now 2
+    assert out2.count_host() == 500
+    f.init()
+    out3 = f.filter(c)
+    assert out3.count_host() == 250
+
+
+def test_cut_at_descriptor_threshold():
+    c = random_cloud(n=500)
+    vals = np.linspace(0, 1, c.num_points, dtype=np.float32)
+    c = c.with_descriptor("score", vals)
+    above = apply("CutAtDescriptorThresholdDataPointsFilter",
+                  {"descName": "score", "useLargerThan": "1",
+                   "threshold": "0.5"}, c)
+    pts_above = above.to_numpy()[1]["score"]
+    assert np.all(pts_above <= 0.5)
+    with pytest.raises(InvalidField):
+        apply("CutAtDescriptorThresholdDataPointsFilter",
+              {"descName": "missing"}, c)
+
+
+# -------------------------------------------------------------- descriptors
+def test_observation_direction_and_orient_normals():
+    c = random_cloud(n=300)
+    c = apply("SurfaceNormalDataPointsFilter", {"knn": "6"}, c)
+    c = apply("ObservationDirectionDataPointsFilter",
+              {"x": "0", "y": "0", "z": "0"}, c)
+    assert c.has_descriptor("observationDirections")
+    c = apply("OrientNormalsDataPointsFilter", {"towardCenter": "1"}, c)
+    _, descs, _ = c.to_numpy()
+    dot = np.sum(descs["normals"] * descs["observationDirections"], axis=1)
+    assert np.all(dot >= -1e-5)
+
+
+def test_incidence_angle_range():
+    c = random_cloud(n=200)
+    c = apply("SurfaceNormalDataPointsFilter", {"knn": "6"}, c)
+    c = apply("ObservationDirectionDataPointsFilter", {}, c)
+    c = apply("IncidenceAngleDataPointsFilter", {}, c)
+    ang = c.to_numpy()[1]["incidenceAngles"]
+    assert np.all((ang >= 0) & (ang <= math.pi + 1e-5))
+
+
+def test_simple_sensor_noise_models():
+    c = random_cloud(n=100, scale=10.0)
+    for st in range(5):
+        out = apply("SimpleSensorNoiseDataPointsFilter",
+                    {"sensorType": str(st)}, c)
+        noise = out.to_numpy()[1]["simpleSensorNoise"]
+        assert np.all(noise >= 0)
+
+
+def test_shadow_filter():
+    c = random_cloud(n=300, scale=5.0)
+    c = apply("SurfaceNormalDataPointsFilter", {"knn": "6"}, c)
+    out = apply("ShadowDataPointsFilter", {"eps": "0.1"}, c)
+    assert 0 < out.count_host() <= c.count_host()
+
+
+# ------------------------------------------------------- normal estimation
+def test_surface_normal_full_outputs():
+    c = random_cloud(n=400)
+    out = apply(
+        "SurfaceNormalDataPointsFilter",
+        {"knn": "8", "keepNormals": "1", "keepDensities": "1",
+         "keepEigenValues": "1", "keepEigenVectors": "1",
+         "keepMatchedIds": "1", "keepMeanDist": "1"},
+        c,
+    )
+    _, descs, _ = out.to_numpy()
+    assert descs["normals"].shape[1] == 3
+    n_norm = np.linalg.norm(descs["normals"], axis=1)
+    np.testing.assert_allclose(n_norm, 1.0, atol=1e-3)
+    assert np.all(descs["densities"] > 0)
+    assert descs["eigValues"].shape[1] == 3
+    # ascending eigenvalues
+    assert np.all(np.diff(descs["eigValues"], axis=1) >= -1e-5)
+    assert descs["eigVectors"].shape[1] == 9
+    assert descs["matchedIds"].shape[1] == 8
+    assert np.all(descs["meanDists"] >= 0)
+
+
+def test_surface_normal_planar_cloud():
+    """Normals of a planar cloud must align with the plane normal."""
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(0, 1, size=(500, 2))
+    pts = np.column_stack([xy, 0.003 * rng.normal(size=500)]).astype(np.float32)
+    c = pm.PointCloud.from_numpy(pts)
+    out = apply("SurfaceNormalDataPointsFilter", {"knn": "10"}, c)
+    normals = out.to_numpy()[1]["normals"]
+    assert np.mean(np.abs(normals[:, 2])) > 0.99
+
+
+def test_sampling_surface_normal_methods():
+    c = random_cloud(n=2000)
+    ran = apply("SamplingSurfaceNormalDataPointsFilter",
+                {"knn": "10", "ratio": "0.5", "samplingMethod": "0"}, c)
+    assert 0 < ran.count_host() < 2000
+    assert ran.to_numpy()[1]["normals"].shape[1] == 3
+    binned = apply("SamplingSurfaceNormalDataPointsFilter",
+                   {"knn": "10", "samplingMethod": "1"}, c)
+    # one point per box of ≤10 points → ~n/10..n/5 points
+    assert 100 <= binned.count_host() <= 450
+
+
+def test_sphericality():
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(0, 1, size=(400, 2))
+    pts = np.column_stack([xy, 0.002 * rng.normal(size=400)]).astype(np.float32)
+    c = pm.PointCloud.from_numpy(pts)
+    c = apply("SurfaceNormalDataPointsFilter",
+              {"knn": "10", "keepEigenValues": "1"}, c)
+    out = apply("SphericalityDataPointsFilter",
+                {"keepUnstructureness": "1", "keepStructureness": "1"}, c)
+    _, descs, _ = out.to_numpy()
+    sph = descs["sphericality"]
+    # planar cloud → strongly structured → sphericality near -1..0
+    assert np.nanmean(sph) < 0.1
+
+
+# --------------------------------------------------------------- densities
+def test_max_density():
+    c = random_cloud(n=3000, scale=0.5)
+    c = apply("SurfaceNormalDataPointsFilter",
+              {"knn": "8", "keepDensities": "1"}, c)
+    dens = c.to_numpy()[1]["densities"]
+    target = float(np.quantile(dens, 0.3))
+    out = apply("MaxDensityDataPointsFilter", {"maxDensity": str(target)}, c)
+    assert out.count_host() < c.count_host()
+
+
+# ------------------------------------------------------- structured sampling
+def test_voxel_grid_centroid_and_center():
+    c = random_cloud(n=3000, scale=4.0)
+    vg = apply("VoxelGridDataPointsFilter",
+               {"vSizeX": "1", "vSizeY": "1", "vSizeZ": "1",
+                "useCentroid": "1"}, c)
+    assert vg.count_host() <= 4 * 4 * 4 + 30
+    cc = apply("VoxelGridDataPointsFilter",
+               {"vSizeX": "1", "vSizeY": "1", "vSizeZ": "1",
+                "useCentroid": "0"}, c)
+    pts, _, _ = cc.to_numpy()
+    # cell centers are at half-integer coordinates
+    frac = pts - np.floor(pts)
+    np.testing.assert_allclose(frac, 0.5, atol=1e-5)
+
+
+def test_voxel_grid_averages_descriptors():
+    c = random_cloud(n=500, scale=2.0)
+    c = c.with_descriptor("score", np.ones(c.num_points, np.float32))
+    vg = apply("VoxelGridDataPointsFilter",
+               {"vSizeX": "1", "vSizeY": "1", "vSizeZ": "1"}, c)
+    sc = vg.to_numpy()[1]["score"]
+    np.testing.assert_allclose(sc, 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", [0, 1, 2, 3])
+def test_octree_grid(method):
+    c = random_cloud(n=2000, scale=2.0)
+    out = apply("OctreeGridDataPointsFilter",
+                {"maxPointByNode": "10", "samplingMethod": str(method)}, c)
+    assert 0 < out.count_host() < 2000
+
+
+def test_octree_max_size():
+    c = random_cloud(n=2000, scale=2.0)
+    out = apply("OctreeGridDataPointsFilter",
+                {"maxSizeByNode": "0.5", "samplingMethod": "2"}, c)
+    # boxes of ≤0.5 over a 2.0 cube → at most ~125 + slack leaves
+    assert out.count_host() <= 600
+
+
+def test_normal_space():
+    c = random_cloud(n=2000)
+    c = apply("SurfaceNormalDataPointsFilter", {"knn": "8"}, c)
+    out = apply("NormalSpaceDataPointsFilter",
+                {"nbSample": "500", "seed": "1"}, c)
+    assert out.count_host() == 500
+    # no-op when nbSample >= N
+    out2 = apply("NormalSpaceDataPointsFilter", {"nbSample": "100000"}, c)
+    assert out2.count_host() == c.count_host()
+
+
+def test_covariance_sampling():
+    c = random_cloud(n=1500)
+    c = apply("SurfaceNormalDataPointsFilter", {"knn": "8"}, c)
+    for norm in (0, 1, 2):
+        out = apply("CovarianceSamplingDataPointsFilter",
+                    {"nbSample": "300", "torqueNorm": str(norm)}, c)
+        assert out.count_host() == 300
+
+
+def test_elipsoids():
+    c = random_cloud(n=2000)
+    out = apply(
+        "ElipsoidsDataPointsFilter",
+        {"knn": "10", "samplingMethod": "1", "keepNormals": "1",
+         "keepDensities": "1", "keepEigenValues": "1", "keepMeans": "1",
+         "keepCovariances": "1", "keepWeights": "1", "keepShapes": "1"},
+        c,
+    )
+    _, descs, _ = out.to_numpy()
+    for name in ("normals", "densities", "eigValues", "means", "covariance",
+                 "weights", "shapes"):
+        assert name in descs, name
+    shapes = descs["shapes"]
+    # planarity + cylindricality + sphericality ≈ 1 + planarity part...
+    # each in [0, ~2]
+    assert np.all(shapes >= -1e-4)
+
+
+def test_gestalt():
+    c = random_cloud(n=1500, scale=10.0)
+    out = apply(
+        "GestaltDataPointsFilter",
+        {"ratio": "0.9", "radius": "5", "vSizeX": "2", "vSizeY": "2",
+         "vSizeZ": "2", "keepGestaltFeatures": "1"},
+        c,
+    )
+    _, descs, _ = out.to_numpy()
+    assert descs["gestaltMeans"].shape[1] == 32
+    assert descs["gestaltVariances"].shape[1] == 32
+    assert descs["gestaltShapes"].shape[1] == 2
+    assert np.all(np.isfinite(descs["gestaltMeans"]))
+
+
+def test_remove_sensor_bias():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(1, 10, size=(200, 3)).astype(np.float32)
+    c = pm.PointCloud.from_numpy(pts)
+    c = apply("SurfaceNormalDataPointsFilter", {"knn": "8"}, c)
+    c = apply("ObservationDirectionDataPointsFilter", {}, c)
+    c = apply("OrientNormalsDataPointsFilter", {}, c)
+    c = apply("IncidenceAngleDataPointsFilter", {}, c)
+    before = c.count_host()
+    for st in (0, 1):
+        out = apply("RemoveSensorBiasDataPointsFilter",
+                    {"sensorType": str(st), "angleThreshold": "88"}, c)
+        assert 0 < out.count_host() <= before
+        assert np.all(np.isfinite(out.to_numpy()[0]))
+    with pytest.raises(InvalidField):
+        apply("RemoveSensorBiasDataPointsFilter", {},
+              random_cloud(n=50))
+
+
+# ------------------------------------------------------------ registry-wide
+def test_all_reference_filters_registered():
+    """Every filter name in the reference registry (Registry.cpp:66-92) must
+    exist here."""
+    expected = [
+        "IdentityDataPointsFilter",
+        "RemoveNaNDataPointsFilter",
+        "MaxDistDataPointsFilter",
+        "MinDistDataPointsFilter",
+        "BoundingBoxDataPointsFilter",
+        "MaxQuantileOnAxisDataPointsFilter",
+        "MaxDensityDataPointsFilter",
+        "SurfaceNormalDataPointsFilter",
+        "SamplingSurfaceNormalDataPointsFilter",
+        "OrientNormalsDataPointsFilter",
+        "IncidenceAngleDataPointsFilter",
+        "RandomSamplingDataPointsFilter",
+        "MaxPointCountDataPointsFilter",
+        "FixStepSamplingDataPointsFilter",
+        "ShadowDataPointsFilter",
+        "SimpleSensorNoiseDataPointsFilter",
+        "ObservationDirectionDataPointsFilter",
+        "VoxelGridDataPointsFilter",
+        "CutAtDescriptorThresholdDataPointsFilter",
+        "ElipsoidsDataPointsFilter",
+        "GestaltDataPointsFilter",
+        "OctreeGridDataPointsFilter",
+        "NormalSpaceDataPointsFilter",
+        "CovarianceSamplingDataPointsFilter",
+        "DistanceLimitDataPointsFilter",
+        "RemoveSensorBiasDataPointsFilter",
+        "SphericalityDataPointsFilter",
+    ]
+    for name in expected:
+        assert Reg.has(name), name
+
+
+def test_filter_chain_through_icp_yaml(ref3d, data3d):
+    """A heavier chain through YAML — parity with icp_advance_api-style
+    configs."""
+    yaml_text = """
+readingDataPointsFilters:
+  - RandomSamplingDataPointsFilter:
+      prob: 0.5
+referenceDataPointsFilters:
+  - SurfaceNormalDataPointsFilter:
+      knn: 10
+matcher:
+  KDTreeMatcher:
+    knn: 1
+outlierFilters:
+  - TrimmedDistOutlierFilter:
+      ratio: 0.8
+  - SurfaceNormalOutlierFilter:
+      maxAngle: 0.8
+errorMinimizer:
+  PointToPlaneErrorMinimizer
+transformationCheckers:
+  - CounterTransformationChecker:
+      maxIterationCount: 40
+  - DifferentialTransformationChecker:
+      minDiffRotErr: 0.001
+      minDiffTransErr: 0.01
+      smoothLength: 4
+"""
+    from tests.conftest import validate_3d
+
+    icp = pm.ICP()
+    icp.load_from_yaml(yaml_text)
+    # reading-side normals needed by SurfaceNormalOutlierFilter
+    icp.reading_filters.append(
+        Reg.create("SurfaceNormalDataPointsFilter", {"knn": "10"})
+    )
+    T = icp(data3d, ref3d, seed=0)
+    validate_3d(T)
