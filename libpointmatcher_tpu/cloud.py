@@ -25,6 +25,7 @@ bucketed size so that repeated registrations hit the jit cache.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, Mapping, Optional, Tuple
 
 import jax
@@ -82,7 +83,7 @@ def bucket_size(n: int, granule: int = 256) -> int:
 class PointCloud:
     """Masked fixed-shape point cloud (see module docstring)."""
 
-    __slots__ = ("points", "mask", "descriptors", "times")
+    __slots__ = ("points", "mask", "descriptors", "times", "_count_cache")
 
     def __init__(
         self,
@@ -104,6 +105,7 @@ class PointCloud:
         self.mask = jnp.asarray(mask, dtype=bool)
         self.descriptors: Dict[str, jnp.ndarray] = dict(descriptors or {})
         self.times: Dict[str, jnp.ndarray] = dict(times or {})
+        self._count_cache: Optional[int] = None
 
     # ------------------------------------------------------------------ pytree
     def tree_flatten(self):
@@ -126,6 +128,7 @@ class PointCloud:
         obj.mask = mask
         obj.descriptors = dict(zip(desc_names, desc_vals))
         obj.times = dict(zip(time_names, time_vals))
+        obj._count_cache = None
         return obj
 
     # ------------------------------------------------------------- properties
@@ -143,8 +146,11 @@ class PointCloud:
         return jnp.sum(self.mask)
 
     def count_host(self) -> int:
-        """Host-side number of valid points (synchronizes)."""
-        return int(np.asarray(jax.device_get(self.count())))
+        """Host-side number of valid points (synchronizes once, then cached —
+        the instance and its mask are immutable)."""
+        if self._count_cache is None:
+            self._count_cache = int(np.asarray(jax.device_get(self.count())))
+        return self._count_cache
 
     # ----------------------------------------------------------- descriptors
     # Parity: DataPoints field ops (reference: PointMatcher.h:284-329).
@@ -242,27 +248,21 @@ class PointCloud:
 
     # --------------------------------------------------------- host repacking
     def compact(self, granule: int = 256, min_size: Optional[int] = None) -> "PointCloud":
-        """Host-side: pack valid rows to the front, pad to a bucketed size.
+        """Pack valid rows to the front, pad/trim to a bucketed size.
 
         Run between filters outside the jitted hot loop, so downstream compute
         (whose cost is O(N_alloc)) only pays for points that survived
         filtering — the reference gets this for free by reallocating
-        (DataPoints::conservativeResize); we get it by re-bucketing."""
-        host = jax.device_get(self)
-        mask = np.asarray(host.mask)
-        idx = np.flatnonzero(mask)
-        n = len(idx)
+        (DataPoints::conservativeResize); we get it by re-bucketing. The
+        permutation and gathers stay on device; only the valid count (one
+        scalar) is pulled to the host to pick the bucket."""
+        n = self.count_host()
         cap = bucket_size(max(n, 1), granule)
         if min_size is not None:
             cap = max(cap, min_size)
-        sel = np.zeros(cap, dtype=np.int64)
-        sel[:n] = idx
-        new_mask = np.zeros(cap, dtype=bool)
-        new_mask[:n] = True
-        pts = np.asarray(host.points)[sel]
-        descs = {k: np.asarray(v)[sel] for k, v in host.descriptors.items()}
-        times = {k: np.asarray(v)[sel] for k, v in host.times.items()}
-        return PointCloud(pts, new_mask, descs, times)
+        out = _compact_on_device(self, cap, n)
+        out._count_cache = n
+        return out
 
     # -------------------------------------------------------------- numpy IO
     def to_numpy(self):
@@ -311,3 +311,31 @@ class PointCloud:
             f"PointCloud(N={self.num_points}, dim={self.dim}, "
             f"descriptors={self.descriptor_labels()}, times={self.time_labels()})"
         )
+
+
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=())
+def _gather_compact(cloud: "PointCloud", cap: int) -> "PointCloud":
+    # stable argsort puts valid rows first, preserving order
+    order = jnp.argsort(jnp.logical_not(cloud.mask), stable=True)[:cap]
+    rank = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    new_mask = rank < jnp.sum(cloud.mask)
+    return PointCloud(
+        cloud.points[order],
+        new_mask,
+        {k: v[order] for k, v in cloud.descriptors.items()},
+        {k: v[order] for k, v in cloud.times.items()},
+    )
+
+
+def _compact_on_device(cloud: "PointCloud", cap: int, n_valid: int) -> "PointCloud":
+    if cap == cloud.num_points and n_valid == cloud.num_points:
+        return cloud
+    if cap > cloud.num_points:
+        pad = cap - cloud.num_points
+        cloud = PointCloud(
+            jnp.pad(cloud.points, ((0, pad), (0, 0))),
+            jnp.pad(cloud.mask, (0, pad)),
+            {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in cloud.descriptors.items()},
+            {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in cloud.times.items()},
+        )
+    return _gather_compact(cloud, cap)

@@ -45,16 +45,18 @@ def apply_filter_chain(
     compact: bool = True,
 ) -> PointCloud:
     """Apply filters sequentially (reference: DataPointsFilter.cpp:106-131)."""
+    before = None
     for i, f in enumerate(filters):
         sub = jax.random.fold_in(key, i) if key is not None else None
-        before = cloud.count_host()
         cloud = f.filter(cloud, key=sub)
         if compact:
-            cloud = cloud.compact()
+            cloud = cloud.compact()  # one scalar host sync per filter
         after = cloud.count_host()
         log_info(
-            f"Applied {type(f).__name__} - {after} points out of {before}"
+            f"Applied {type(f).__name__} - {after} points remaining"
+            + (f" (of {before})" if before is not None else "")
         )
+        before = after
         if after == 0:
             raise ConvergenceError(
                 f"no points remaining after filter {type(f).__name__}"

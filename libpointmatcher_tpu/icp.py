@@ -290,7 +290,7 @@ class ICP(ICPChainBase):
         def step(reading, reference, T_iter, checker_states, outlier_states,
                  iteration):
             stepped = _apply_transform(transformations, reading, T_iter)
-            matches = matcher.find_closests(stepped)
+            matches = matcher.find_closests_in(stepped, reference)
             weights, outlier_states = compute_outlier_weights(
                 outliers, stepped, reference, matches, outlier_states
             )
@@ -329,6 +329,50 @@ class ICP(ICPChainBase):
         return T0, checker_states, outlier_states, stats0
 
     # ------------------------------------------------------- fused while_loop
+    def make_loop_runner(self):
+        """The complete fixed-point loop as one pure function
+        ``(reading, reference) → (T_iter, iterations, code, stats)``.
+
+        This is the unit the drivers build on: ``_run_fused`` jits it
+        directly; ``parallel.batch`` vmaps it over stacked registration
+        pairs; the multi-chip path runs it over sharded inputs and lets XLA
+        insert the collectives."""
+        step = self._make_step(None, None)
+
+        def run_loop(reading, reference):
+            dim = reading.dim
+            T0, checker_states, outlier_states, stats0 = (
+                self._init_loop_state(dim)
+            )
+
+            def cond(carry):
+                _, _, _, iterate, _, _, _ = carry
+                return iterate
+
+            def body(carry):
+                T_iter, checker_states, outlier_states, _, iteration, \
+                    code, stats = carry
+                T_new, checker_states, outlier_states, iterate, code2, \
+                    stats, _, _ = step(
+                        reading, reference, T_iter, checker_states,
+                        outlier_states, iteration,
+                    )
+                return (
+                    T_new, checker_states, outlier_states, iterate,
+                    iteration + 1, jnp.maximum(code, code2), stats,
+                )
+
+            init = (
+                T0, checker_states, outlier_states, jnp.asarray(True),
+                jnp.int32(0), jnp.int32(0), stats0,
+            )
+            T, _, _, _, iters, code, stats = jax.lax.while_loop(
+                cond, body, init
+            )
+            return T, iters, code, stats
+
+        return run_loop
+
     def _run_fused(self, reading, reference, key):
         cache_key = (
             "fused",
@@ -340,41 +384,7 @@ class ICP(ICPChainBase):
         )
         runner = self._jit_cache.get(cache_key)
         if runner is None:
-            step = self._make_step(reading, reference)
-
-            @jax.jit
-            def runner(reading, reference):
-                dim = reading.dim
-                T0, checker_states, outlier_states, stats0 = (
-                    self._init_loop_state(dim)
-                )
-
-                def cond(carry):
-                    _, _, _, iterate, _, _, _ = carry
-                    return iterate
-
-                def body(carry):
-                    T_iter, checker_states, outlier_states, _, iteration, \
-                        code, stats = carry
-                    T_new, checker_states, outlier_states, iterate, code2, \
-                        stats, _, _ = step(
-                            reading, reference, T_iter, checker_states,
-                            outlier_states, iteration,
-                        )
-                    return (
-                        T_new, checker_states, outlier_states, iterate,
-                        iteration + 1, jnp.maximum(code, code2), stats,
-                    )
-
-                init = (
-                    T0, checker_states, outlier_states, jnp.asarray(True),
-                    jnp.int32(0), jnp.int32(0), stats0,
-                )
-                T, _, _, _, iters, code, stats = jax.lax.while_loop(
-                    cond, body, init
-                )
-                return T, iters, code, stats
-
+            runner = jax.jit(self.make_loop_runner())
             self._jit_cache[cache_key] = runner
 
         T, iters, code, stats = runner(reading, reference)

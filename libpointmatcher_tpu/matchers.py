@@ -61,6 +61,18 @@ class Matcher(Parametrizable):
         self._reference = reference
 
     def find_closests(self, reading: PointCloud) -> Matches:
+        """Match against the reference set by :meth:`init`."""
+        assert self._reference is not None, "matcher not initialized"
+        return self.find_closests_in(reading, self._reference)
+
+    def find_closests_in(self, reading: PointCloud, reference: PointCloud) -> Matches:
+        """Pure form: match ``reading`` against an explicit ``reference``.
+
+        The ICP engine calls this inside its traced step with the reference
+        as a loop argument — never via ``init``'s stored state, which under
+        jit would be baked into the program as a constant (bloating the
+        executable and going stale if the same chain is reused with a new
+        reference of identical shape)."""
         raise NotImplementedError
 
     # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
@@ -79,7 +91,7 @@ MatcherRegistrar = Registrar("Matcher")
 class NullMatcher(Matcher):
     """Does nothing, returns no valid matches (reference: MatchersImpl.cpp:40-52)."""
 
-    def find_closests(self, reading: PointCloud) -> Matches:
+    def find_closests_in(self, reading: PointCloud, reference: PointCloud) -> Matches:
         n = reading.num_points
         return Matches(
             jnp.full((n, 1), jnp.inf, jnp.float32),
@@ -103,9 +115,7 @@ class KDTreeMatcher(Matcher):
               float, "inf", min=0.0),
     )
 
-    def find_closests(self, reading: PointCloud) -> Matches:
-        assert self._reference is not None, "matcher not initialized"
-        ref = self._reference
+    def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
         if self.knn == 1 and _use_pallas():
             from .ops.knn_pallas import knn1_pallas
 
@@ -152,9 +162,7 @@ class KDTreeVarDistMatcher(Matcher):
               "search radius", str, "maxSearchDist"),
     )
 
-    def find_closests(self, reading: PointCloud) -> Matches:
-        assert self._reference is not None, "matcher not initialized"
-        ref = self._reference
+    def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
         dists, ids = knn_brute_force(
             reading.points, reading.mask, ref.points, ref.mask, k=self.knn
         )

@@ -68,7 +68,12 @@ def knn_brute_force(query, query_mask, ref, ref_mask, k: int = 1, tile_m: int = 
         best_d, best_i = carry
         rt, r2t, mt, tidx = tile
         # [N, TM] squared distances; matmul rides the MXU, rest fuses on VPU.
-        dots = jnp.dot(query, rt.T, preferred_element_type=jnp.float32)
+        # precision=HIGHEST forces true-f32 accumulation on TPU (the default
+        # single-pass bf16 flips nearest neighbors on close pairs).
+        dots = jnp.dot(
+            query, rt.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
         d2 = q2[:, None] + r2t[None, :] - 2.0 * dots
         d2 = jnp.maximum(d2, 0.0)
         d2 = jnp.where(mt[None, :], d2, inf)

@@ -4,9 +4,9 @@ The XLA scan formulation in :mod:`.knn` materializes each [N, TILE_M]
 distance block to HBM before reducing it (~4 GB of traffic for 32k x 32k).
 This kernel computes the block in VMEM, folds the running (min, argmin) in
 place, and writes only the final [N] results — HBM traffic drops to reading
-the two point sets once per sweep. The dot products ride the MXU with the
-coordinate dimension zero-padded to the 128 lane width (same wall time as
-K=3 at ~2% utilization, but trivially fused with the VPU reduction).
+the two point sets once per sweep. Distances use the exact f32 difference
+form on the VPU (see the kernel comment: the matmul form is neither exact
+nor faster at d=3).
 """
 
 from __future__ import annotations
@@ -24,15 +24,19 @@ __all__ = ["knn1_pallas"]
 _DPAD = 8  # coordinate dim padded to the f32 sublane width
 
 
-def _nn1_kernel(q_ref, r_ref, q2_ref, r2_ref, out_d_ref, out_i_ref):
+def _nn1_kernel(q_ref, r_ref, rpen_ref, out_d_ref, out_i_ref, *, dim):
     j = pl.program_id(1)
     tile_m = r_ref.shape[0]
 
-    # [TQ, TM] squared distances for this block, entirely in VMEM.
-    dots = jnp.dot(
-        q_ref[:], r_ref[:].T, preferred_element_type=jnp.float32
-    )
-    d2 = q2_ref[:] + r2_ref[:] - 2.0 * dots  # r2 carries +inf for masked rows
+    # [TQ, TM] squared distances for this block, entirely in VMEM, in exact
+    # f32 difference form: the matmul formulation ‖q‖²+‖r‖²−2q·r both runs
+    # the MXU at bf16 precision by default and cancels catastrophically when
+    # distances are small relative to coordinates — either flips nearest
+    # neighbors. The VPU difference form is bit-faithful to the kd-tree.
+    d2 = rpen_ref[:]  # [1, TM] +inf penalty for masked reference rows
+    for c in range(dim):
+        diff = q_ref[:, c][:, None] - r_ref[:, c][None, :]
+        d2 = d2 + diff * diff
 
     td = jnp.min(d2, axis=1)  # [TQ]
     ti = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * tile_m
@@ -64,21 +68,17 @@ def knn1_pallas(query, query_mask, ref, ref_mask,
 
     qp = jnp.zeros((n_pad, _DPAD), jnp.float32).at[:n, :d].set(query)
     rp = jnp.zeros((m_pad, _DPAD), jnp.float32).at[:m, :d].set(ref)
-    q2 = jnp.sum(qp * qp, axis=1, keepdims=True)  # [n_pad, 1]
-    r2 = jnp.sum(rp * rp, axis=1)  # [m_pad]
     rmask_p = jnp.zeros((m_pad,), bool).at[:m].set(ref_mask)
-    r2 = jnp.where(rmask_p, r2, jnp.inf)[None, :]  # [1, m_pad]
+    rpen = jnp.where(rmask_p, 0.0, jnp.inf)[None, :]  # [1, m_pad]
 
     grid = (n_pad // tile_q, m_pad // tile_m)
     out_d, out_i = pl.pallas_call(
-        _nn1_kernel,
+        functools.partial(_nn1_kernel, dim=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_q, _DPAD), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, _DPAD), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_m), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -94,12 +94,12 @@ def knn1_pallas(query, query_mask, ref, ref_mask,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * m_pad * _DPAD + 4 * n_pad * m_pad,
+            flops=3 * n_pad * m_pad * d + 4 * n_pad * m_pad,
             bytes_accessed=4 * (n_pad + m_pad) * _DPAD
             + 8 * n_pad * (m_pad // tile_m),
             transcendentals=0,
         ),
-    )(qp, rp, q2, r2)
+    )(qp, rp, rpen)
 
     best_d = out_d[:n, 0]
     best_i = out_i[:n, 0]

@@ -1,0 +1,123 @@
+"""Pair-parallel batched registration.
+
+The reference's evaluation harness runs one ICP per CPU core
+(reference: evaluations/eval_solution.cpp, boost::thread per core). The TPU
+analogue is data parallelism over registration pairs: per-pair host
+preparation (filters, centering) streams through the device once, all pairs
+are padded to a common bucket and stacked, and the **entire fixed-point loop
+runs vmapped** — one device program registering B pairs in lockstep (the
+loop runs until every pair has stopped; finished pairs keep their final
+state, masked by their own checker flags). Shard the leading batch axis over
+a mesh and the same program scales across chips and hosts."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cloud import PointCloud, bucket_size
+from ..filters.base import apply_filter_chain
+from ..icp import ICP
+from ..utils import se3
+
+__all__ = ["register_batch"]
+
+
+def _stack_clouds(clouds: Sequence[PointCloud], cap: int) -> PointCloud:
+    padded = []
+    for c in clouds:
+        if c.num_points != cap:
+            c = c.compact(min_size=cap)
+            if c.num_points > cap:
+                raise ValueError("cloud exceeds the common bucket")
+        padded.append(c)
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *padded
+    )
+
+
+def register_batch(
+    icp: ICP,
+    readings: Sequence[PointCloud],
+    references: Sequence[PointCloud],
+    T_inits: Optional[Sequence] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, dict]:
+    """Register ``readings[i]`` onto ``references[i]`` for all i at once.
+
+    Returns ``(T [B, d+1, d+1], info)`` where info carries per-pair
+    iteration counts, error codes and minimizer stats. Uses the same
+    pipeline as ``ICP.compute`` (reference: ICP.cpp:265-452) with the loop
+    vmapped across pairs."""
+    assert len(readings) == len(references)
+    b = len(readings)
+    dim = readings[0].dim
+    key = jax.random.PRNGKey(seed)
+    if T_inits is None:
+        T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
+
+    prepped_readings: List[PointCloud] = []
+    prepped_references: List[PointCloud] = []
+    T_refIn_refMean: List[np.ndarray] = []
+    T_refMean_dataIn: List[jnp.ndarray] = []
+    for i, (reading, reference) in enumerate(zip(readings, references)):
+        kr = jax.random.fold_in(key, 2 * i)
+        kf = jax.random.fold_in(key, 2 * i + 1)
+        reference = apply_filter_chain(icp.reference_filters, reference, kf)
+        mean = np.asarray(
+            jax.device_get(
+                jnp.sum(
+                    jnp.where(reference.mask[:, None], reference.points, 0.0),
+                    axis=0,
+                )
+                / jnp.maximum(reference.count(), 1)
+            )
+        )
+        Trm = np.eye(dim + 1, dtype=np.float32)
+        Trm[:dim, dim] = mean
+        reference = reference.replace(
+            points=reference.points - mean[None, :]
+        )
+        reading = apply_filter_chain(icp.reading_filters, reading, kr)
+        T_rmd = se3.inverse(jnp.asarray(Trm)) @ jnp.asarray(
+            T_inits[i], jnp.float32
+        )
+        from ..icp import _apply_transform
+
+        reading = _apply_transform(icp.transformations, reading, T_rmd)
+        prepped_readings.append(reading)
+        prepped_references.append(reference)
+        T_refIn_refMean.append(Trm)
+        T_refMean_dataIn.append(T_rmd)
+
+    cap_r = bucket_size(max(c.num_points for c in prepped_readings))
+    cap_f = bucket_size(max(c.num_points for c in prepped_references))
+    batch_reading = _stack_clouds(prepped_readings, cap_r)
+    batch_reference = _stack_clouds(prepped_references, cap_f)
+
+    runner = jax.jit(jax.vmap(icp.make_loop_runner()))
+    T_iter, iters, codes, stats = runner(batch_reading, batch_reference)
+
+    T_out = np.stack(
+        [
+            np.asarray(
+                jnp.asarray(T_refIn_refMean[i])
+                @ T_iter[i]
+                @ T_refMean_dataIn[i]
+            )
+            for i in range(b)
+        ]
+    )
+    info = {
+        "iterations": np.asarray(iters),
+        "codes": np.asarray(codes),
+        "point_used_ratio": np.asarray(stats.point_used_ratio),
+        "weighted_point_used_ratio": np.asarray(
+            stats.weighted_point_used_ratio
+        ),
+        "residual": np.asarray(stats.residual),
+    }
+    return T_out, info

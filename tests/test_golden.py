@@ -57,9 +57,30 @@ def clouds():
     return data, ref
 
 
+@pytest.fixture(scope="module")
+def full_clouds():
+    ref = pm.io.load(os.path.join(DATA, "cloud.00000.vtk"))
+    data = pm.io.load(os.path.join(DATA, "cloud.00001.vtk"))
+    return data, ref
+
+
+def _uses_aggressive_sampling(name: str) -> bool:
+    """Configs that random-sample below ~20% need full-density clouds: on the
+    decimated fixtures they drop to a few hundred points and the comparison
+    against the full-density golden becomes systematically biased. They are
+    also exactly the configs that stay cheap at full resolution (the reading
+    shrinks by the same ratio)."""
+    import re
+
+    with open(os.path.join(ICP_DATA, name + ".yaml")) as f:
+        text = f.read()
+    m = re.search(r"prob:\s*([0-9.]+)", text)
+    return bool(m) and float(m.group(1)) <= 0.2
+
+
 @pytest.mark.parametrize("name", _configs)
-def test_golden_config(name, clouds):
-    data, ref = clouds
+def test_golden_config(name, clouds, full_clouds):
+    data, ref = full_clouds if _uses_aggressive_sampling(name) else clouds
     T_ref = load_ref_trans(name)
     pts, _, _ = data.to_numpy()
     errs = []

@@ -150,3 +150,23 @@ def test_stats_exposed(data3d, ref3d):
         assert key in hist, key
     assert icp.last_stats is not None
     assert 0.0 < float(icp.last_stats.weighted_point_used_ratio) <= 1.0
+
+
+def test_icp_object_reuse_with_new_reference():
+    """Reusing one ICP object across pairs must not leak the previous
+    reference through the jit cache (regression: the matcher's stored
+    reference must never be baked into the traced step)."""
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, size=(500, 3)).astype(np.float32)
+    shift_a = np.float32([0.2, 0.0, 0.0])
+    shift_b = np.float32([0.0, 0.0, -0.3])
+    icp = pm.ICP()
+    icp.set_default()
+    icp.reading_filters = []
+    ref_a = pm.PointCloud.from_numpy(src + shift_a)
+    ref_b = pm.PointCloud.from_numpy(src + shift_b)
+    reading = pm.PointCloud.from_numpy(src)
+    T_a = np.asarray(icp(reading, ref_a, seed=0))
+    T_b = np.asarray(icp(reading, ref_b, seed=0))
+    np.testing.assert_allclose(T_a[:3, 3], shift_a, atol=0.05)
+    np.testing.assert_allclose(T_b[:3, 3], shift_b, atol=0.05)

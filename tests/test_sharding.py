@@ -64,3 +64,28 @@ def test_full_icp_on_sharded_reference(mesh, data3d, ref3d):
     T_sharded = np.asarray(icp2(data_s, ref_s, seed=42))
     validate_3d(T_sharded)
     np.testing.assert_allclose(T_sharded, T_single, atol=2e-2)
+
+
+def test_register_batch_matches_sequential(data3d, ref3d):
+    """Vmapped pair-parallel registration must agree with per-pair runs."""
+    from libpointmatcher_tpu.parallel import register_batch
+    from tests.conftest import validate_3d
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # two different pairs: (data3d→ref3d) and a synthetic shifted pair
+    src = rng.uniform(-1, 1, size=(800, 3)).astype(np.float32)
+    shift = np.float32([0.15, -0.1, 0.2])
+    c_read = pm.PointCloud.from_numpy(src)
+    c_ref = pm.PointCloud.from_numpy(src + shift)
+
+    icp = pm.ICP()
+    icp.set_default()
+    T_batch, info = register_batch(
+        icp, [data3d, c_read], [ref3d, c_ref], seed=42
+    )
+    assert T_batch.shape == (2, 4, 4)
+    validate_3d(T_batch[0])
+    np.testing.assert_allclose(T_batch[1][:3, 3], shift, atol=0.05)
+    assert info["iterations"].shape == (2,)
+    assert np.all(info["codes"] <= 1)
