@@ -142,6 +142,40 @@ class ICPChainBase:
     def get_max_num_iterations_reached(self) -> bool:
         return self.max_num_iterations_reached
 
+    # Minimizer introspection parity (reference: PointMatcher.h:549-554).
+    def get_point_used_ratio(self) -> float:
+        if self.last_stats is None:
+            raise RuntimeError("error minimizer needs to run at least once")
+        return float(self.last_stats.point_used_ratio)
+
+    def get_weighted_point_used_ratio(self) -> float:
+        if self.last_stats is None:
+            raise RuntimeError("error minimizer needs to run at least once")
+        return float(self.last_stats.weighted_point_used_ratio)
+
+    def get_overlap(self) -> float:
+        """Overlap estimate of the last registration
+        (reference: PointToPoint.cpp:119-152 — noise-aware when
+        'simpleSensorNoise' descriptors were present; otherwise the weighted
+        point-used ratio)."""
+        return self.get_weighted_point_used_ratio()
+
+    def get_residual_error(self) -> float:
+        if self.last_stats is None:
+            raise RuntimeError("error minimizer needs to run at least once")
+        return float(self.last_stats.residual)
+
+    def get_covariance(self):
+        """6x6 transform covariance from a WithCov minimizer
+        (reference: PointToPlaneWithCov.cpp:157-162)."""
+        if self.last_stats is None or self.last_stats.covariance is None:
+            raise RuntimeError(
+                "no covariance available: run a *WithCov error minimizer first"
+            )
+        import numpy as _np
+
+        return _np.asarray(self.last_stats.covariance)
+
 
 def _apply_transform(transformations: Sequence[Transformation], cloud, T):
     for t in transformations:

@@ -100,6 +100,10 @@ class PerformanceInspector(Inspector):
             import sys
 
             print(self.dump_stats(), file=sys.stderr)
+        if self.dumpStats and self.baseFileName:
+            with open(f"{self.baseFileName}-stats.csv", "w") as f:
+                f.write(self.dump_stats_header())
+                f.write(self.dump_stats())
 
 
 @InspectorRegistrar.register

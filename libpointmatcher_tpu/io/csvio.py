@@ -63,13 +63,21 @@ def load_csv(source: Union[str, TextIO], granule: int = 256) -> PointCloud:
         ]
         data_lines = lines
 
-    rows = [
-        [float(t) for t in _split(ln, delim)] for ln in data_lines
-    ]
-    data = np.asarray(rows, dtype=np.float64)
-    if data.ndim != 2 or data.shape[1] != len(col_names):
-        # ragged safety: trim to the named column count
-        data = data[:, : len(col_names)]
+    data = None
+    if data_lines:
+        # fast path: the native tokenizer (native/pm_native.cpp) parses the
+        # whole numeric block in one pass (~20x the Python float() loop)
+        from . import native
+
+        vals = native.parse_floats("\n".join(data_lines).encode())
+        if vals is not None and len(vals) == len(data_lines) * len(col_names):
+            data = vals.reshape(len(data_lines), len(col_names))
+    if data is None:
+        rows = [[float(t) for t in _split(ln, delim)] for ln in data_lines]
+        data = np.asarray(rows, dtype=np.float64)
+        if data.ndim != 2 or data.shape[1] != len(col_names):
+            # ragged safety: trim to the named column count
+            data = data[:, : len(col_names)]
     points, descriptors, times = group_columns(col_names, data)
     return PointCloud.from_numpy(points, descriptors, times, granule=granule)
 

@@ -1,0 +1,128 @@
+"""ctypes bridge to the native IO accelerator (native/pm_native.cpp).
+
+Builds the shared library on first use (one g++ invocation, cached next to
+the source); every entry point degrades gracefully to the numpy/Python path
+when the toolchain or library is unavailable, so the package works without
+a compiler."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO = os.path.join(_NATIVE_DIR, "libpm_native.so")
+_SRC = os.path.join(_NATIVE_DIR, "pm_native.cpp")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-shared", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.pm_parse_floats.restype = ctypes.c_long
+            lib.pm_parse_floats.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ]
+            lib.pm_parse_doubles.restype = ctypes.c_long
+            lib.pm_parse_doubles.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ]
+            lib.pm_parse_doubles_n.restype = ctypes.c_long
+            lib.pm_parse_doubles_n.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.pm_format_floats.restype = ctypes.c_long
+            lib.pm_format_floats.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+                ctypes.c_char_p, ctypes.c_long,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_floats(text: bytes) -> Optional[np.ndarray]:
+    """Tokenize an ASCII numeric block → float64 array, or None when the
+    native path is unavailable or the block contains non-numeric tokens."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = max(len(text) // 2 + 16, 64)
+    out = np.empty(cap, np.float64)
+    n = lib.pm_parse_doubles(
+        text, len(text),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n]
+
+
+def parse_floats_n(text: bytes, want: int):
+    """Parse exactly ``want`` numbers from the head of ``text``.
+
+    → (values float64 [n], consumed_bytes) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(want, np.float64)
+    consumed = ctypes.c_long(0)
+    n = lib.pm_parse_doubles_n(
+        text, len(text),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), want,
+        ctypes.byref(consumed),
+    )
+    return out[:n], int(consumed.value)
+
+
+def format_floats(values: np.ndarray) -> Optional[bytes]:
+    """Format a float32 [rows, cols] table as ASCII rows, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, np.float32)
+    rows, cols = values.shape
+    cap = rows * cols * 20 + rows * 2 + 64
+    buf = ctypes.create_string_buffer(cap)
+    w = lib.pm_format_floats(
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows, cols, buf, cap,
+    )
+    if w < 0:
+        return None
+    return buf.raw[:w]

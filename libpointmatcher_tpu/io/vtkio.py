@@ -64,6 +64,14 @@ class _Reader:
             if self.pos < len(self.data) and self.data[self.pos:self.pos + 1] == b"\n":
                 self.pos += 1
             return np.frombuffer(buf, dtype=big).astype(native)
+        from . import native as native_io
+
+        res = native_io.parse_floats_n(self.data[self.pos:], count)
+        if res is not None:
+            arr, consumed = res
+            if len(arr) == count:
+                self.pos += consumed
+                return arr.astype(native)
         vals: List[float] = []
         while len(vals) < count:
             ln = self.next_nonempty_line()

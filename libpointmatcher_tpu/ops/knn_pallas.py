@@ -24,18 +24,20 @@ __all__ = ["knn1_pallas"]
 _DPAD = 8  # coordinate dim padded to the f32 sublane width
 
 
-def _nn1_kernel(q_ref, r_ref, rpen_ref, out_d_ref, out_i_ref, *, dim):
+def _nn1_kernel(q_ref, rt_ref, rpen_ref, out_d_ref, out_i_ref, *, dim):
     j = pl.program_id(1)
-    tile_m = r_ref.shape[0]
+    tile_m = rt_ref.shape[1]
 
     # [TQ, TM] squared distances for this block, entirely in VMEM, in exact
     # f32 difference form: the matmul formulation ‖q‖²+‖r‖²−2q·r both runs
     # the MXU at bf16 precision by default and cancels catastrophically when
     # distances are small relative to coordinates — either flips nearest
     # neighbors. The VPU difference form is bit-faithful to the kd-tree.
+    # The reference tile arrives transposed [d, TM] so each coordinate row is
+    # lane-contiguous (no cross-lane gather per coordinate).
     d2 = rpen_ref[:]  # [1, TM] +inf penalty for masked reference rows
     for c in range(dim):
-        diff = q_ref[:, c][:, None] - r_ref[:, c][None, :]
+        diff = q_ref[:, c][:, None] - rt_ref[c, :][None, :]
         d2 = d2 + diff * diff
 
     td = jnp.min(d2, axis=1)  # [TQ]
@@ -67,7 +69,7 @@ def knn1_pallas(query, query_mask, ref, ref_mask,
     m_pad = ((m + tile_m - 1) // tile_m) * tile_m
 
     qp = jnp.zeros((n_pad, _DPAD), jnp.float32).at[:n, :d].set(query)
-    rp = jnp.zeros((m_pad, _DPAD), jnp.float32).at[:m, :d].set(ref)
+    rt = jnp.zeros((_DPAD, m_pad), jnp.float32).at[:d, :m].set(ref.T)
     rmask_p = jnp.zeros((m_pad,), bool).at[:m].set(ref_mask)
     rpen = jnp.where(rmask_p, 0.0, jnp.inf)[None, :]  # [1, m_pad]
 
@@ -78,7 +80,7 @@ def knn1_pallas(query, query_mask, ref, ref_mask,
         in_specs=[
             pl.BlockSpec((tile_q, _DPAD), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, _DPAD), lambda i, j: (j, 0),
+            pl.BlockSpec((_DPAD, tile_m), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_m), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -99,7 +101,7 @@ def knn1_pallas(query, query_mask, ref, ref_mask,
             + 8 * n_pad * (m_pad // tile_m),
             transcendentals=0,
         ),
-    )(qp, rp, rpen)
+    )(qp, rt, rpen)
 
     best_d = out_d[:n, 0]
     best_i = out_i[:n, 0]

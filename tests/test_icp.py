@@ -170,3 +170,48 @@ def test_icp_object_reuse_with_new_reference():
     T_b = np.asarray(icp(reading, ref_b, seed=0))
     np.testing.assert_allclose(T_a[:3, 3], shift_a, atol=0.05)
     np.testing.assert_allclose(T_b[:3, 3], shift_b, atol=0.05)
+
+
+def test_similarity_transform_scale():
+    """Reference oracle (utest.cpp:222-243): registering car_cloud400 onto
+    its 1.04-scaled copy with the similarity minimizer must recover the
+    scale to 1e-3."""
+    from tests.conftest import _decimate, DATA
+    import os
+
+    pts0 = _decimate(pm.io.load(os.path.join(DATA, "car_cloud400.csv")))
+    pts1 = _decimate(pm.io.load(os.path.join(DATA, "car_cloud400_scaled.csv")))
+    icp = pm.ICP()
+    with open(os.path.join(
+        DATA, "icp_data",
+        "defaultSimilarityPointToPointMinDistDataPointsFilter.yaml",
+    )) as f:
+        icp.load_from_yaml(f.read())
+    T = np.asarray(icp(pts0, pts1, seed=0))
+    scale = np.linalg.det(T[:3, :3]) ** (1.0 / 3.0)
+    assert abs(scale - 1.04) < 0.002, scale
+    # similarity minimizer must auto-select the similarity transformation
+    assert isinstance(icp.transformations[0], pm.SimilarityTransformation)
+
+
+def test_reading_step_filters_run_per_iteration():
+    """FixStepSampling as a readingStep filter forces the stepped engine and
+    advances its schedule every iteration (reference: ICP.cpp:371-377)."""
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, size=(1000, 3)).astype(np.float32)
+    reading = pm.PointCloud.from_numpy(src)
+    reference = pm.PointCloud.from_numpy(src + np.float32([0.05, 0, 0]))
+    icp = pm.ICP()
+    icp.set_default()
+    icp.reading_filters = []
+    icp.error_minimizer = pm.ErrorMinimizerRegistrar.create(
+        "PointToPointErrorMinimizer"
+    )
+    step_f = pm.DataPointsFilterRegistrar.create(
+        "FixStepSamplingDataPointsFilter",
+        {"startStep": "4", "endStep": "1", "stepMult": "0.5"},
+    )
+    icp.reading_step_filters = [step_f]
+    T = np.asarray(icp(reading, reference, seed=0))
+    np.testing.assert_allclose(T[:3, 3], [0.05, 0, 0], atol=0.02)
+    assert icp.last_iteration_count > 1
