@@ -83,7 +83,9 @@ def bucket_size(n: int, granule: int = 256) -> int:
 class PointCloud:
     """Masked fixed-shape point cloud (see module docstring)."""
 
-    __slots__ = ("points", "mask", "descriptors", "times", "_count_cache")
+    __slots__ = (
+        "points", "mask", "descriptors", "times", "_count_cache", "_host_cache",
+    )
 
     def __init__(
         self,
@@ -106,6 +108,7 @@ class PointCloud:
         self.descriptors: Dict[str, jnp.ndarray] = dict(descriptors or {})
         self.times: Dict[str, jnp.ndarray] = dict(times or {})
         self._count_cache: Optional[int] = None
+        self._host_cache = None  # (points, mask, descriptors, times) numpy
 
     # ------------------------------------------------------------------ pytree
     def tree_flatten(self):
@@ -129,6 +132,7 @@ class PointCloud:
         obj.descriptors = dict(zip(desc_names, desc_vals))
         obj.times = dict(zip(time_names, time_vals))
         obj._count_cache = None
+        obj._host_cache = None
         return obj
 
     # ------------------------------------------------------------- properties
@@ -206,12 +210,15 @@ class PointCloud:
 
     # ------------------------------------------------------------- structure
     def replace(self, **kw) -> "PointCloud":
-        return PointCloud(
+        out = PointCloud(
             kw.get("points", self.points),
             kw.get("mask", self.mask),
             kw.get("descriptors", self.descriptors),
             kw.get("times", self.times),
         )
+        if "mask" not in kw:
+            out._count_cache = self._count_cache
+        return out
 
     def with_mask(self, mask) -> "PointCloud":
         """New cloud whose validity mask is ``self.mask & mask``."""
@@ -267,14 +274,21 @@ class PointCloud:
     # -------------------------------------------------------------- numpy IO
     def to_numpy(self):
         """Return (points[N_valid,d], descriptors, times) as numpy, valid rows
-        only; time channels come back as int64."""
-        host = jax.device_get(self)
-        mask = np.asarray(host.mask)
-        pts = np.asarray(host.points)[mask]
-        descs = {k: np.asarray(v)[mask] for k, v in host.descriptors.items()}
-        times = {
-            k: merge_int64(np.asarray(v)[mask]) for k, v in host.times.items()
-        }
+        only; time channels come back as int64.
+
+        Clouds freshly built by ``from_numpy`` (e.g. straight from a loader)
+        answer from their cached host copy — no device→host transfer."""
+        if self._host_cache is not None:
+            pts_h, mask_h, descs_h, times_h = self._host_cache
+        else:
+            host = jax.device_get(self)
+            pts_h = np.asarray(host.points)
+            mask_h = np.asarray(host.mask)
+            descs_h = {k: np.asarray(v) for k, v in host.descriptors.items()}
+            times_h = {k: np.asarray(v) for k, v in host.times.items()}
+        pts = pts_h[mask_h]
+        descs = {k: v[mask_h] for k, v in descs_h.items()}
+        times = {k: merge_int64(v[mask_h]) for k, v in times_h.items()}
         return pts, descs, times
 
     @staticmethod
@@ -304,7 +318,10 @@ class PointCloud:
             buf = np.zeros((cap, v.shape[1]), np.int32)
             buf[:n] = v
             tms[k] = buf
-        return PointCloud(pts, mask, descs, tms)
+        out = PointCloud(pts, mask, descs, tms)
+        out._count_cache = n
+        out._host_cache = (pts, mask, descs, tms)
+        return out
 
     def __repr__(self):
         return (

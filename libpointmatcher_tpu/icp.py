@@ -183,6 +183,17 @@ def _apply_transform(transformations: Sequence[Transformation], cloud, T):
     return cloud
 
 
+@jax.jit
+def _center_cloud(cloud: PointCloud):
+    """Shift a cloud to its valid-point mean; → (centered, T_refIn_refMean)."""
+    dim = cloud.dim
+    mean = jnp.sum(
+        jnp.where(cloud.mask[:, None], cloud.points, 0.0), axis=0
+    ) / jnp.maximum(cloud.count(), 1)
+    T = jnp.eye(dim + 1, dtype=cloud.points.dtype).at[:dim, dim].set(mean)
+    return cloud.replace(points=cloud.points - mean[None, :]), T
+
+
 class ICP(ICPChainBase):
     """One-shot registration engine (reference: ICP.cpp:242-452)."""
 
@@ -216,20 +227,9 @@ class ICP(ICPChainBase):
         reference = apply_filter_chain(
             self.reference_filters, reference, jax.random.fold_in(key, 1)
         )
-        # Center reference at its mean (reference: ICP.cpp:291-299).
-        mean_ref = np.asarray(
-            jax.device_get(
-                jnp.sum(
-                    jnp.where(reference.mask[:, None], reference.points, 0.0),
-                    axis=0,
-                )
-                / jnp.maximum(reference.count(), 1)
-            )
-        )
-        T_refIn_refMean = np.eye(dim + 1, dtype=np.float32)
-        T_refIn_refMean[:dim, dim] = mean_ref
-        T_refIn_refMean = jnp.asarray(T_refIn_refMean)
-        reference = reference.replace(points=reference.points - mean_ref[None, :])
+        # Center reference at its mean (reference: ICP.cpp:291-299);
+        # stays on device — no host sync.
+        reference, T_refIn_refMean = _center_cloud(reference)
         self.matcher.init(reference)
 
         self.inspector.add_stat(
@@ -281,10 +281,19 @@ class ICP(ICPChainBase):
                 reading, reference, jax.random.fold_in(key, 3)
             )
 
+        # one synchronized pull for everything the host needs
+        iters, code, stats = jax.device_get((iters, code, stats))
         code = int(code)
         self.max_num_iterations_reached = code == CODE_MAX_ITER
         self.last_iteration_count = int(iters)
-        self.last_stats = jax.device_get(stats)
+        self.last_stats = stats
+        if fused:
+            # brute force touches every (valid reading, valid reference) pair
+            self.matcher.visit_count += (
+                self.last_iteration_count
+                * reading.count_host()
+                * reference.count_host()
+            )
         if code == CODE_NAN_ERROR:
             raise ConvergenceError("abs rotation/translation norm not a number")
         if code == CODE_BOUND_ERROR:
@@ -421,11 +430,7 @@ class ICP(ICPChainBase):
             runner = jax.jit(self.make_loop_runner())
             self._jit_cache[cache_key] = runner
 
-        T, iters, code, stats = runner(reading, reference)
-        n_pairs = reading.count_host() * reference.count_host()
-        iters = int(iters)
-        self.matcher.visit_count += iters * n_pairs
-        return T, iters, int(code), stats
+        return runner(reading, reference)
 
     # -------------------------------------------------------- stepped driver
     def _run_stepped(self, reading, reference, key):
@@ -498,16 +503,7 @@ class ICPSequence(ICP):
         cloud = apply_filter_chain(
             self.reference_filters, cloud, jax.random.fold_in(key, 1)
         )
-        mean = np.asarray(
-            jax.device_get(
-                jnp.sum(jnp.where(cloud.mask[:, None], cloud.points, 0.0), axis=0)
-                / jnp.maximum(cloud.count(), 1)
-            )
-        )
-        T = np.eye(dim + 1, dtype=np.float32)
-        T[:dim, dim] = mean
-        self._T_refIn_refMean = jnp.asarray(T)
-        cloud = cloud.replace(points=cloud.points - mean[None, :])
+        cloud, self._T_refIn_refMean = _center_cloud(cloud)
         self._map = cloud
         self.matcher.init(cloud)
         self.prefiltered_reference_pts_count = cloud.count_host()

@@ -98,7 +98,15 @@ def register_batch(
     batch_reading = _stack_clouds(prepped_readings, cap_r)
     batch_reference = _stack_clouds(prepped_references, cap_f)
 
-    runner = jax.jit(jax.vmap(icp.make_loop_runner()))
+    cache_key = (
+        "batch", b, cap_r, cap_f, dim,
+        batch_reading.descriptor_labels(),
+        batch_reference.descriptor_labels(),
+    )
+    runner = icp._jit_cache.get(cache_key)
+    if runner is None:
+        runner = jax.jit(jax.vmap(icp.make_loop_runner()))
+        icp._jit_cache[cache_key] = runner
     T_iter, iters, codes, stats = runner(batch_reading, batch_reference)
 
     T_out = np.stack(

@@ -75,19 +75,41 @@ def rodrigues(omega):
     patches a NaN rotation back to identity (PointToPlane.cpp:289-297), the
     sinc-style series makes θ→0 exact."""
     theta2 = jnp.sum(omega * omega)
-    theta = jnp.sqrt(theta2)
+    # +tiny keeps the sqrt differentiable at ω = 0 (the Gauss-Newton
+    # linearization point in the pose-graph solver)
+    theta = jnp.sqrt(theta2 + 1e-30)
     # sin(θ)/θ and (1-cos θ)/θ² with series fallback near zero
     small = theta < 1e-6
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    safe_t = jnp.where(small, 1.0, theta)
+    safe_t2 = jnp.where(small, 1.0, theta2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe_t) / safe_t)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe_t)) / safe_t2)
     wx, wy, wz = omega[0], omega[1], omega[2]
     K = jnp.array(
         [[0.0, -wz, wy], [wz, 0.0, -wx], [-wy, wx, 0.0]], dtype=omega.dtype
     )
     eye = jnp.eye(3, dtype=omega.dtype)
     return eye + a * K + b * (K @ K)
+
+
+def log_rotation(R):
+    """Rotation matrix [3,3] → axis-angle vector [3], Taylor- and
+    gradient-safe (differentiable at the identity — required by the
+    pose-graph Gauss-Newton, which linearizes exactly there).
+
+    Inverse of :func:`rodrigues` for angles in [0, π)."""
+    w = jnp.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]],
+        dtype=R.dtype,
+    )
+    # ‖w‖ = 2 sin θ; the +tiny keeps the sqrt differentiable at θ = 0
+    s = 0.5 * jnp.sqrt(jnp.sum(w * w) + 1e-30)
+    c = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arctan2(s, c)
+    small = s < 1e-5
+    safe_s = jnp.where(small, 1.0, s)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_s))
+    return scale * w
 
 
 def rot2d(angle):

@@ -89,3 +89,62 @@ def test_register_batch_matches_sequential(data3d, ref3d):
     np.testing.assert_allclose(T_batch[1][:3, 3], shift, atol=0.05)
     assert info["iterations"].shape == (2,)
     assert np.all(info["codes"] <= 1)
+
+
+def test_pose_graph_closes_loop():
+    """A noisy odometry chain with a loop-closure constraint must snap back
+    to the ground-truth trajectory."""
+    import numpy as np
+    from libpointmatcher_tpu.parallel.posegraph import (
+        edges_from_numpy,
+        optimize_pose_graph,
+        relative_pose_residual,
+    )
+    from libpointmatcher_tpu.utils import se3 as se3m
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    K = 8
+
+    def rotz(a):
+        return np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]],
+            np.float32,
+        )
+
+    # ground truth: poses around a circle
+    gt = []
+    for k in range(K):
+        a = 2 * np.pi * k / K
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = rotz(a)
+        T[:3, 3] = [np.cos(a), np.sin(a), 0.0]
+        gt.append(T)
+    gt = np.stack(gt)
+
+    # measurements: exact relative poses (odometry i→i+1 and loop closure)
+    ii, jj, Ts = [], [], []
+    for k in range(K - 1):
+        ii.append(k); jj.append(k + 1)
+        Ts.append(np.linalg.inv(gt[k]) @ gt[k + 1])
+    ii.append(K - 1); jj.append(0)
+    Ts.append(np.linalg.inv(gt[K - 1]) @ gt[0])
+    edges = edges_from_numpy(ii, jj, np.stack(Ts))
+
+    # initial guess: ground truth corrupted by noise (pose 0 fixed)
+    init = gt.copy()
+    for k in range(1, K):
+        w = rng.normal(scale=0.1, size=3).astype(np.float32)
+        init[k][:3, :3] = init[k][:3, :3] @ np.asarray(
+            se3m.rodrigues(jnp.asarray(w))
+        )
+        init[k][:3, 3] += rng.normal(scale=0.15, size=3)
+
+    init_res = float(np.linalg.norm(
+        np.asarray(relative_pose_residual(jnp.asarray(init), edges))
+    ))
+    opt, final = optimize_pose_graph(init, edges, gn_iters=10, cg_iters=30)
+    opt = np.asarray(opt)
+    assert float(final) < 1e-3 < init_res
+    # recovered trajectory matches ground truth (gauge-fixed at pose 0)
+    np.testing.assert_allclose(opt, gt, atol=5e-3)
