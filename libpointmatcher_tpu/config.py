@@ -29,6 +29,7 @@ from .transformations import (
 
 __all__ = [
     "configure_chain_from_yaml",
+    "filters_from_yaml",
     "parse_module_spec",
     "create_from_spec",
     "VALID_SECTIONS",
@@ -82,6 +83,27 @@ def _create_list(registrar, node) -> List:
             f"expected a list of modules for {registrar.interface_name}"
         )
     return [create_from_spec(registrar, item) for item in node]
+
+
+def filters_from_yaml(source: Union[str, io.IOBase, list]) -> List:
+    """Build a standalone DataPointsFilter chain from a bare YAML list
+    (reference: DataPointsFilter.cpp:78-93; e.g.
+    examples/data/default-convert.yaml)."""
+    if isinstance(source, list):
+        doc = source
+    elif hasattr(source, "read"):
+        doc = yaml.safe_load(source)
+    else:
+        text = source
+        if "\n" not in text and (text.endswith(".yaml") or text.endswith(".yml")):
+            with open(text) as f:
+                text = f.read()
+        doc = yaml.safe_load(text)
+    if not isinstance(doc, list):
+        raise ConfigurationError(
+            "expected a YAML list of data-point filters"
+        )
+    return _create_list(DataPointsFilterRegistrar, doc)
 
 
 def configure_chain_from_yaml(chain, source: Union[str, io.IOBase, dict]) -> None:

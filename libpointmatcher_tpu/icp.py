@@ -162,6 +162,16 @@ class ICPChainBase:
             raise RuntimeError("error minimizer needs to run at least once")
         return float(self.last_stats.residual)
 
+    def get_nb_rejected_matches(self) -> int:
+        if self.last_stats is None:
+            raise RuntimeError("error minimizer needs to run at least once")
+        return int(self.last_stats.nb_rejected_matches)
+
+    def get_nb_rejected_points(self) -> int:
+        if self.last_stats is None:
+            raise RuntimeError("error minimizer needs to run at least once")
+        return int(self.last_stats.nb_rejected_points)
+
     def get_covariance(self):
         """6x6 transform covariance from a WithCov minimizer
         (reference: PointToPlaneWithCov.cpp:157-162)."""

@@ -39,6 +39,9 @@ class MinimizerStats(NamedTuple):
     weighted_point_used_ratio: jnp.ndarray  # scalar
     residual: jnp.ndarray  # scalar
     covariance: object = None  # [6,6] for the WithCov minimizers, else None
+    # rejection counters (reference: ErrorMinimizer.cpp:186-187)
+    nb_rejected_matches: jnp.ndarray = jnp.int32(0)
+    nb_rejected_points: jnp.ndarray = jnp.int32(0)
 
 
 class Pairs(NamedTuple):
@@ -81,6 +84,22 @@ def _used_ratios(reading: PointCloud, weights, matches: Matches):
     return jnp.sum(valid) / denom, jnp.sum(jnp.where(valid, weights, 0.0)) / denom
 
 
+def rejection_counts(reading: PointCloud, weights, matches: Matches):
+    """(nbRejectedMatches, nbRejectedPoints): finite-distance pairs whose
+    weight is zero, and valid reading points with no surviving pair at all
+    (reference: ErrorMinimizer.cpp:101-135)."""
+    finite = jnp.isfinite(matches.dists)
+    kept = jnp.logical_and(finite, weights != 0.0)
+    rejected_matches = jnp.sum(
+        jnp.logical_and(finite, weights == 0.0)
+    ).astype(jnp.int32)
+    point_has_match = jnp.any(kept, axis=1)
+    rejected_points = jnp.sum(
+        jnp.logical_and(reading.mask, jnp.logical_not(point_has_match))
+    ).astype(jnp.int32)
+    return rejected_matches, rejected_points
+
+
 def gather_pair_descriptor(cloud_desc, pairs: Pairs, side: str, knn: int):
     """Descriptor values per pair: reading-side repeats, reference-side gathers."""
     if side == "reading":
@@ -107,6 +126,12 @@ def solve_possibly_underdetermined(A, b):
     winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
     return V @ (winv * (V.T @ b))
 
+
+
+def build_stats(reading, weights, matches, residual, covariance=None):
+    pr, wr = _used_ratios(reading, weights, matches)
+    rm, rp = rejection_counts(reading, weights, matches)
+    return MinimizerStats(pr, wr, residual, covariance, rm, rp)
 
 class ErrorMinimizer(Parametrizable):
     """Interface (reference: PointMatcher.h:527-577)."""
@@ -135,9 +160,8 @@ class IdentityErrorMinimizer(ErrorMinimizer):
 
     def compute(self, reading, reference, weights, matches):
         d = reading.dim
-        pr, wr = _used_ratios(reading, weights, matches)
         T = jnp.eye(d + 1, dtype=reading.points.dtype)
-        return T, MinimizerStats(pr, wr, jnp.float32(0.0))
+        return T, build_stats(reading, weights, matches, jnp.float32(0.0))
 
 
 def _kabsch(pairs: Pairs, d: int, with_scale: bool = False):
@@ -177,8 +201,9 @@ class PointToPointErrorMinimizer(ErrorMinimizer):
     def compute(self, reading, reference, weights, matches):
         pairs = make_pairs(reading, reference, weights, matches)
         T = _kabsch(pairs, reading.dim, with_scale=False)
-        pr, wr = _used_ratios(reading, weights, matches)
-        return T, MinimizerStats(pr, wr, self._residual(pairs, reading, reference))
+        return T, build_stats(
+            reading, weights, matches, self._residual(pairs, reading, reference)
+        )
 
 
 @ErrorMinimizerRegistrar.register
@@ -189,8 +214,9 @@ class PointToPointSimilarityErrorMinimizer(ErrorMinimizer):
     def compute(self, reading, reference, weights, matches):
         pairs = make_pairs(reading, reference, weights, matches)
         T = _kabsch(pairs, reading.dim, with_scale=True)
-        pr, wr = _used_ratios(reading, weights, matches)
-        return T, MinimizerStats(pr, wr, self._residual(pairs, reading, reference))
+        return T, build_stats(
+            reading, weights, matches, self._residual(pairs, reading, reference)
+        )
 
 
 class _PointToPlaneBase(ErrorMinimizer):
@@ -279,9 +305,8 @@ class PointToPlaneErrorMinimizer(_PointToPlaneBase):
 
     def compute(self, reading, reference, weights, matches):
         T, pairs, normals, dot = self._solve(reading, reference, weights, matches)
-        pr, wr = _used_ratios(reading, weights, matches)
         residual = jnp.sum(pairs.w * dot * dot)
-        return T, MinimizerStats(pr, wr, residual)
+        return T, build_stats(reading, weights, matches, residual)
 
     def residual_error(self, reading, reference, weights, matches):
         pairs = make_pairs(reading, reference, weights, matches)
@@ -384,10 +409,9 @@ class PointToPlaneWithCovErrorMinimizer(PointToPlaneErrorMinimizer):
 
     def compute(self, reading, reference, weights, matches):
         T, pairs, normals, dot = self._solve(reading, reference, weights, matches)
-        pr, wr = _used_ratios(reading, weights, matches)
         residual = jnp.sum(pairs.w * dot * dot)
         cov = _censi_covariance(pairs, normals, T, self.sensorStdDev)
-        return T, MinimizerStats(pr, wr, residual, cov)
+        return T, build_stats(reading, weights, matches, residual, cov)
 
 
 def estimate_overlap(reading, reference, weights, matches, weighted_ratio):

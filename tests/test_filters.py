@@ -441,3 +441,37 @@ transformationCheckers:
     )
     T = icp(data3d, ref3d, seed=0)
     validate_3d(T)
+
+
+def test_filters_from_yaml_default_convert(data3d):
+    """The reference's shipped default-convert.yaml (a bare filter-chain
+    list) builds and applies (reference: DataPointsFilter.cpp:78-93)."""
+    import jax as _jax
+    from libpointmatcher_tpu.config import filters_from_yaml
+    from libpointmatcher_tpu.filters import apply_filter_chain
+
+    chain = filters_from_yaml(
+        open("/root/reference/examples/data/default-convert.yaml").read()
+    )
+    assert [type(f).__name__ for f in chain] == [
+        "BoundingBoxDataPointsFilter",
+        "SamplingSurfaceNormalDataPointsFilter",
+        "ObservationDirectionDataPointsFilter",
+        "OrientNormalsDataPointsFilter",
+    ]
+    out = apply_filter_chain(chain, data3d, _jax.random.PRNGKey(0))
+    assert out.has_descriptor("normals")
+    assert out.has_descriptor("observationDirections")
+
+
+def test_default_identity_yaml(data3d, ref3d):
+    """The reference's default-identity.yaml runs through the engine."""
+    import libpointmatcher_tpu as _pm
+    from tests.conftest import validate_3d
+
+    icp = _pm.ICP()
+    icp.load_from_yaml(
+        open("/root/reference/examples/data/default-identity.yaml").read()
+    )
+    T = icp(data3d, ref3d, seed=0)
+    validate_3d(T)

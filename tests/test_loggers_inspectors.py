@@ -103,3 +103,20 @@ def test_icp_introspection_accessors(data3d, ref3d):
     icp(data3d, ref3d, seed=0)
     cov = icp.get_covariance()
     assert cov.shape == (6, 6)
+
+
+def test_rejection_counters(data3d, ref3d):
+    icp = pm.ICP()
+    icp.set_default()
+    icp.outlier_filters = [
+        pm.OutlierFilterRegistrar.create(
+            "TrimmedDistOutlierFilter", {"ratio": "0.5"}
+        )
+    ]
+    icp(data3d, ref3d, seed=0)
+    # half the matches trimmed → roughly half rejected
+    assert icp.get_nb_rejected_matches() > 0
+    assert icp.get_nb_rejected_points() > 0
+    total = icp.get_nb_rejected_matches()
+    used = icp.get_point_used_ratio()
+    assert 0.3 < used < 0.7
