@@ -117,9 +117,14 @@ class KDTreeMatcher(Matcher):
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
         if self.knn == 1 and _use_pallas():
-            from .ops.knn_pallas import knn1_pallas
+            import os
 
-            d1, i1 = knn1_pallas(
+            if os.environ.get("PMTPU_KNN_IMPL", "vpu") == "mxu":
+                from .ops.knn_pallas import knn1_pallas_mxu as _knn1
+            else:
+                from .ops.knn_pallas import knn1_pallas as _knn1
+
+            d1, i1 = _knn1(
                 reading.points, reading.mask, ref.points, ref.mask
             )
             dists, ids = d1[:, None], i1[:, None]

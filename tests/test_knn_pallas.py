@@ -1,0 +1,67 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled equivalence is
+exercised on real TPU by the benchmarks)."""
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import libpointmatcher_tpu.ops.knn_pallas as kp
+from libpointmatcher_tpu.ops.knn import knn_brute_force
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kp.pl, "pallas_call", patched)
+
+
+def _data(n=300, m=700, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(n, 3)).astype(np.float32)
+    r = rng.normal(size=(m, 3)).astype(np.float32)
+    return q, np.ones(n, bool), r, np.ones(m, bool)
+
+
+def test_exact_kernel_matches_scan_path():
+    q, qm, r, rm = _data()
+    qm[5:9] = False
+    rm[::3] = False
+    d1, i1 = kp.knn1_pallas(q, qm, r, rm)
+    d2, i2 = knn_brute_force(q, qm, r, rm, k=1)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2)[:, 0])
+    # the scan path's ‖q‖²+‖r‖²−2q·r form cancels a few ulps on small
+    # distances; the kernel's difference form is the more accurate one
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2)[:, 0], rtol=1e-4, atol=1e-5
+    )
+    assert np.all(np.asarray(i1)[5:9] == -1)
+
+
+def test_mxu_kernel_agrees():
+    q, qm, r, rm = _data(seed=1)
+    d1, i1 = kp.knn1_pallas_mxu(q, qm, r, rm)
+    d2, i2 = kp.knn1_pallas(q, qm, r, rm)
+    assert np.mean(np.asarray(i1) == np.asarray(i2)) > 0.999
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_kernel_all_reference_masked():
+    q, qm, r, rm = _data(n=64, m=128)
+    rm[:] = False
+    d, i = kp.knn1_pallas(q, qm, r, rm)
+    assert np.all(np.isinf(np.asarray(d)))
+    assert np.all(np.asarray(i) == -1)
+
+
+def test_kernel_nonaligned_sizes():
+    q, qm, r, rm = _data(n=515, m=2051, seed=2)
+    d1, i1 = kp.knn1_pallas(q, qm, r, rm, tile_q=256, tile_m=512)
+    d2, i2 = knn_brute_force(q, qm, r, rm, k=1)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2)[:, 0])

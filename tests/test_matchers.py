@@ -1,0 +1,79 @@
+"""Matcher unit tests (parity target: utest/ui/Matcher.cpp)."""
+
+import numpy as np
+import pytest
+
+import libpointmatcher_tpu as pm
+from libpointmatcher_tpu import MatcherRegistrar as Reg
+
+
+def clouds(n=200, m=300, seed=0):
+    rng = np.random.default_rng(seed)
+    a = pm.PointCloud.from_numpy(rng.normal(size=(n, 3)).astype(np.float32))
+    b = pm.PointCloud.from_numpy(rng.normal(size=(m, 3)).astype(np.float32))
+    return a, b
+
+
+def test_null_matcher_empty():
+    a, b = clouds()
+    mtch = Reg.create("NullMatcher")
+    mtch.init(b)
+    m = mtch.find_closests(a)
+    assert np.all(np.isinf(np.asarray(m.dists)))
+    assert np.all(np.asarray(m.ids) == -1)
+
+
+def test_kdtree_matcher_knn_and_maxdist():
+    a, b = clouds()
+    mtch = Reg.create("KDTreeMatcher", {"knn": "3", "maxDist": "0.5"})
+    mtch.init(b)
+    m = mtch.find_closests(a)
+    d = np.asarray(m.dists)
+    i = np.asarray(m.ids)
+    assert d.shape[1] == 3
+    finite = np.isfinite(d)
+    assert np.all(d[finite] <= 0.5**2 + 1e-6)
+    assert np.all(i[~finite] == -1)
+    # ascending per row (rows with any finite entries)
+    df = np.where(finite, d, np.inf)
+    diffs = np.diff(df, axis=1)
+    assert np.all(diffs[np.isfinite(diffs)] >= -1e-6)
+
+
+def test_var_dist_matcher():
+    a, b = clouds()
+    radius = np.full(a.num_points, 0.3, np.float32)
+    radius[:50] = 1e-6  # effectively unmatchable
+    a = a.with_descriptor("myRadius", radius)
+    mtch = Reg.create("KDTreeVarDistMatcher",
+                      {"knn": "2", "maxDistField": "myRadius"})
+    mtch.init(b)
+    m = mtch.find_closests(a)
+    d = np.asarray(m.dists)
+    assert np.all(np.isinf(d[:50]))
+    finite = np.isfinite(d[50:])
+    assert np.all(d[50:][finite] <= 0.3**2 + 1e-6)
+
+
+def test_no_inliers_raises_through_engine():
+    """A NullMatcher yields no usable pairs → ConvergenceError
+    (reference: ErrorMinimizer.cpp:76-77)."""
+    a, b = clouds()
+    icp = pm.ICP()
+    icp.set_default()
+    icp.reading_filters = []
+    icp.reference_filters = []
+    icp.matcher = Reg.create("NullMatcher")
+    icp.error_minimizer = pm.ErrorMinimizerRegistrar.create(
+        "PointToPointErrorMinimizer"
+    )
+    with pytest.raises(pm.ConvergenceError):
+        icp(a, b)
+
+
+def test_visit_count_statistics(data3d, ref3d):
+    icp = pm.ICP()
+    icp.set_default()
+    icp(data3d, ref3d, seed=0)
+    # PointCountTouched analogue: iterations × pair count
+    assert icp.matcher.get_visit_count() == 0  # engine resets after reporting
