@@ -152,6 +152,57 @@ def _use_pallas() -> bool:
 
 
 @MatcherRegistrar.register
+class CellGridMatcher(Matcher):
+    """Bounded-radius kNN via a cell list — the large-cloud matcher
+    (extension beyond the reference registry; see ops/cellgrid.py).
+
+    Requires a finite ``maxDist``: correctness within the radius is exact,
+    points with no reference neighbor inside it get (+inf, -1) — the same
+    contract as KDTreeMatcher with maxDist. Use when clouds are big enough
+    (≳10⁵ after filtering) that the dense sweep's O(N·M) loses to culling."""
+
+    PARAMS = (
+        Param("knn", "number of nearest neighbors to consider", int, 1, min=1),
+        Param("maxDist", "maximum distance to consider for neighbors "
+              "(required finite; also the cell edge length)", float, 1.0,
+              min=0.0000001),
+    )
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self._grid = None
+        self._grid_ref = None
+
+    def init(self, reference: PointCloud) -> None:
+        from .ops.cellgrid import build_cell_grid
+
+        super().init(reference)
+        import jax
+
+        host = jax.device_get((reference.points, reference.mask))
+        self._grid = build_cell_grid(host[0], host[1], float(self.maxDist))
+        self._grid_ref = reference
+
+    def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
+        if self._grid is None or ref is not self._grid_ref:
+            # pure fallback for callers that pass a fresh reference
+            dists, ids = knn_brute_force(
+                reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+            )
+            keep = dists <= jnp.float32(self.maxDist) ** 2
+            return Matches(
+                jnp.where(keep, dists, jnp.inf), jnp.where(keep, ids, -1)
+            )
+        from .ops.cellgrid import cell_knn
+
+        dists, ids = cell_knn(
+            reading.points, reading.mask, ref.points, self._grid,
+            float(self.maxDist), k=self.knn,
+        )
+        return Matches(dists, ids)
+
+
+@MatcherRegistrar.register
 class KDTreeVarDistMatcher(Matcher):
     """kNN with a per-point maximum radius taken from a reading descriptor
     (reference: MatchersImpl.cpp:132-150)."""

@@ -77,3 +77,32 @@ def test_visit_count_statistics(data3d, ref3d):
     icp(data3d, ref3d, seed=0)
     # PointCountTouched analogue: iterations × pair count
     assert icp.matcher.get_visit_count() == 0  # engine resets after reporting
+
+
+def test_cell_grid_matches_brute_force():
+    """CellGridMatcher must agree with KDTreeMatcher+maxDist exactly."""
+    a, b = clouds(n=500, m=800, seed=3)
+    kd = Reg.create("KDTreeMatcher", {"knn": "2", "maxDist": "0.4"})
+    cg = Reg.create("CellGridMatcher", {"knn": "2", "maxDist": "0.4"})
+    kd.init(b)
+    cg.init(b)
+    m1 = kd.find_closests(a)
+    m2 = cg.find_closests(a)
+    d1, i1 = np.asarray(m1.dists), np.asarray(m1.ids)
+    d2, i2 = np.asarray(m2.dists), np.asarray(m2.ids)
+    assert np.array_equal(np.isfinite(d1), np.isfinite(d2))
+    f = np.isfinite(d1)
+    np.testing.assert_allclose(d2[f], d1[f], rtol=1e-4, atol=1e-6)
+    # ids may differ only on exact distance ties
+    diff = i1 != i2
+    assert np.all(np.abs(d1[diff & f] - d2[diff & f]) < 1e-6)
+
+
+def test_cell_grid_through_engine(data3d, ref3d):
+    from tests.conftest import validate_3d
+
+    icp = pm.ICP()
+    icp.set_default()
+    icp.matcher = Reg.create("CellGridMatcher", {"knn": "1", "maxDist": "2.0"})
+    T = icp(data3d, ref3d, seed=0)
+    validate_3d(T)
