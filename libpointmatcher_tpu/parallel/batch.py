@@ -124,6 +124,13 @@ def register_batch(
         runner = jax.jit(jax.vmap(icp.make_loop_runner()))
         icp._jit_cache[cache_key] = runner
     T_iter, iters, codes, stats = runner(batch_reading, batch_reference)
+    return _finish_batch(
+        icp, b, T_iter, iters, codes, stats, T_refIn_refMean, T_refMean_dataIn
+    )
+
+
+def _finish_batch(icp, b, T_iter, iters, codes, stats, T_refIn_refMean,
+                  T_refMean_dataIn):
 
     T_out = np.stack(
         [
@@ -145,3 +152,56 @@ def register_batch(
         "residual": np.asarray(stats.residual),
     }
     return T_out, info
+
+
+def register_batch_to_map(
+    seq,
+    readings: Sequence[PointCloud],
+    T_inits: Optional[Sequence] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, dict]:
+    """Batched scan-to-map serving: register many readings against the
+    persistent map of an ``ICPSequence`` at once.
+
+    The production shape of the reference's odometry/localization loop
+    (reference: ICP.cpp:455-612): the map is filtered, centered and
+    acceleration-built exactly once (``seq.set_map``); here each incoming
+    scan batch runs one vmapped loop against the broadcast map."""
+    from ..icp import _apply_transform
+
+    assert seq.has_map(), "set_map first"
+    reference = seq.get_prefiltered_internal_map()
+    b = len(readings)
+    dim = readings[0].dim
+    key = jax.random.PRNGKey(seed)
+    Trm = seq._T_refIn_refMean
+    Trm_inv = se3.inverse(jnp.asarray(Trm))
+    if T_inits is None:
+        T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
+
+    prepped = []
+    T_refMean_dataIn = []
+    for i, reading in enumerate(readings):
+        kr = jax.random.fold_in(key, i)
+        reading = apply_filter_chain(seq.reading_filters, reading, kr)
+        T_rmd = Trm_inv @ jnp.asarray(T_inits[i], jnp.float32)
+        prepped.append(_apply_transform(seq.transformations, reading, T_rmd))
+        T_refMean_dataIn.append(T_rmd)
+
+    cap_r = bucket_size(max(c.num_points for c in prepped))
+    batch_reading = _stack_clouds(prepped, cap_r)
+
+    cache_key = (
+        "batch_map", b, cap_r, reference.num_points, dim,
+        batch_reading.descriptor_labels(),
+        reference.descriptor_labels(),
+    )
+    runner = seq._jit_cache.get(cache_key)
+    if runner is None:
+        # readings batched, the map shared (in_axes None — no b-fold copy)
+        runner = jax.jit(jax.vmap(seq.make_loop_runner(), in_axes=(0, None)))
+        seq._jit_cache[cache_key] = runner
+    T_iter, iters, codes, stats = runner(batch_reading, reference)
+    return _finish_batch(
+        seq, b, T_iter, iters, codes, stats, [Trm] * b, T_refMean_dataIn
+    )

@@ -148,3 +148,18 @@ def test_pose_graph_closes_loop():
     assert float(final) < 1e-3 < init_res
     # recovered trajectory matches ground truth (gauge-fixed at pose 0)
     np.testing.assert_allclose(opt, gt, atol=5e-3)
+
+
+def test_register_batch_to_map(data3d, ref3d):
+    """Batched scan-to-map serving against an ICPSequence map."""
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+    from tests.conftest import validate_3d
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(ref3d)
+    T_b, info = register_batch_to_map(seq, [data3d, data3d], seed=42)
+    assert T_b.shape == (2, 4, 4)
+    validate_3d(T_b[0])
+    validate_3d(T_b[1])
+    assert np.all(info["codes"] <= 1)
