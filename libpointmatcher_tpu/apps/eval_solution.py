@@ -26,7 +26,6 @@ import numpy as np
 import libpointmatcher_tpu as pm
 from libpointmatcher_tpu.errors import ConvergenceError
 from libpointmatcher_tpu.io.filelist import load_file_info_vector
-from libpointmatcher_tpu.utils import se3
 
 SEQUENCES = [
     "apartment", "eth", "plain", "stairs", "gazebo", "wood",

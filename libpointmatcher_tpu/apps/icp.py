@@ -9,7 +9,6 @@ import sys
 import numpy as np
 
 import libpointmatcher_tpu as pm
-from libpointmatcher_tpu.utils import se3
 
 
 def parse_translation(text: str, dim: int) -> np.ndarray:

@@ -15,7 +15,6 @@ from libpointmatcher_tpu.outlierfilters import (
     compute_outlier_weights,
     init_outlier_states,
 )
-from libpointmatcher_tpu.utils import se3
 
 
 def main(argv=None):

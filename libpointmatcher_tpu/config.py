@@ -10,7 +10,7 @@ minimizer (Similarity vs Rigid, reference: ICP.cpp:145-148)."""
 from __future__ import annotations
 
 import io
-from typing import Any, Dict, List, Mapping, Optional, Tuple, Union
+from typing import Any, Dict, List, Mapping, Tuple, Union
 
 import yaml
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cloud import PointCloud
-from ..errors import InvalidField, InvalidParameter
+from ..errors import InvalidField
 from ..registry import Param
 from .base import DataPointsFilter, DataPointsFilterRegistrar
 

@@ -10,7 +10,6 @@ the whole filter is three fused XLA computations instead of N small eigens.
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

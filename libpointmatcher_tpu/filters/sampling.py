@@ -9,7 +9,6 @@ are one batched device computation via segment reductions + ``eigh``."""
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import io
 import time
-from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -39,15 +38,14 @@ from .checkers import (
     CODE_MAX_ITER,
     CODE_NAN_ERROR,
     TransformationChecker,
-    TransformationCheckerRegistrar,
 )
 from .cloud import PointCloud
-from .errors import ConfigurationError, ConvergenceError
+from .errors import ConvergenceError
 from .filters.base import DataPointsFilter, apply_filter_chain
 from .inspectors import Inspector, NullInspector
 from .loggers import log_info, log_warning
-from .matchers import Matcher, Matches
-from .minimizers import ErrorMinimizer, MinimizerStats, estimate_overlap
+from .matchers import Matcher
+from .minimizers import ErrorMinimizer, MinimizerStats
 from .outlierfilters import (
     OutlierFilter,
     compute_outlier_weights,

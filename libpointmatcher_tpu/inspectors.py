@@ -15,11 +15,7 @@ and only end-of-run stats are recorded."""
 
 from __future__ import annotations
 
-import math
 from typing import Dict
-
-import jax
-import numpy as np
 
 from .registry import Param, Parametrizable, Registrar
 from .utils.histogram import Histogram

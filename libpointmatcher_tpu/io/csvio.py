@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import csv as _csv
 import io
-from typing import List, Optional, TextIO, Union
+from typing import List, TextIO, Union
 
 import numpy as np
 

@@ -6,7 +6,7 @@ label table."""
 
 from __future__ import annotations
 
-from typing import BinaryIO, Dict, List, Tuple, Union
+from typing import BinaryIO, List, Tuple, Union
 
 import numpy as np
 

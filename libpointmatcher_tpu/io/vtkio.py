@@ -9,7 +9,7 @@ into ``<name>_splitTime_high32`` / ``..._low32`` scalar fields
 from __future__ import annotations
 
 import io
-from typing import BinaryIO, Dict, List, Tuple, Union
+from typing import BinaryIO, Dict, List, Union
 
 import numpy as np
 

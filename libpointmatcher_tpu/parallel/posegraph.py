@@ -23,7 +23,7 @@ decoupled retraction. Pose 0 is gauge-fixed.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

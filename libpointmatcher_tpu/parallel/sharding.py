@@ -24,7 +24,7 @@ all-gather merge; it returns bit-identical results to the single-device op.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import csv
 import io
-import math
 from typing import Dict, List
 
 __all__ = ["Histogram"]
