@@ -18,33 +18,42 @@ def _flatten_finite(values):
     return flat, finite
 
 
+def _sort_key_u32(x):
+    """Order-preserving map f32 → uint32 (the classic radix-sort key):
+    non-negatives get the sign bit set, negatives are bit-inverted."""
+    ub = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = ub >= jnp.uint32(0x80000000)
+    return jnp.where(neg, ~ub, ub | jnp.uint32(0x80000000))
+
+
 def _select_rank(flat, finite, idx):
     """Exact value of the idx-th (0-based) smallest finite element.
 
     TPU-first selection: instead of a full sort (XLA sorts are the single
-    most expensive primitive we could put inside the ICP loop), bisect the
-    value range with rank counts — 32 fused reduction passes — then recover
-    the exact element as the smallest value above the final lower bound.
-    Exactness: after bisection count(≤lo) < idx+1 ≤ count(≤hi), so the
-    answer is the minimum element in (lo, ∞)."""
+    most expensive primitive we could put inside the ICP loop), bisect over
+    the order-preserving uint32 bit patterns with rank counts — 32 fused
+    reduction passes that terminate on the exact element's bit pattern.
+    Unconditionally exact: on termination hi is the smallest key with
+    count(≤hi) ≥ idx+1 and count(≤hi−1) < idx+1, i.e. the element itself."""
     target = idx + 1
-    big = jnp.where(finite, flat, -jnp.inf)
-    lo0 = jnp.min(jnp.where(finite, flat, jnp.inf))
-    hi0 = jnp.max(big)
+    keys = _sort_key_u32(flat)
+    keys = jnp.where(finite, keys, jnp.uint32(0xFFFFFFFF))
 
     def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(jnp.logical_and(finite, flat <= mid))
+        lo, hi = carry  # invariant: count(≤lo) < target ≤ count(≤hi)
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        cnt = jnp.sum(jnp.logical_and(finite, keys <= mid))
         take_low = cnt >= target
-        return (jnp.where(take_low, lo, mid), jnp.where(take_low, mid, hi))
+        return (jnp.where(take_low, lo, mid + jnp.uint32(1)),
+                jnp.where(take_low, mid, hi))
 
-    # nudge lo below the minimum so the minimum itself stays selectable
     lo, hi = jax.lax.fori_loop(
-        0, 32, body, (lo0 - jnp.abs(lo0) * 1e-6 - 1e-30, hi0)
+        0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFE))
     )
-    above = jnp.logical_and(finite, flat > lo)
-    return jnp.min(jnp.where(above, flat, jnp.inf))
+    # invert the key map
+    neg = hi < jnp.uint32(0x80000000)
+    bits = jnp.where(neg, ~hi, hi & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def masked_quantile(values, q):

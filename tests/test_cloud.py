@@ -104,3 +104,25 @@ def test_pytree_roundtrip():
     np.testing.assert_allclose(
         np.asarray(c3.points), np.asarray(c.points) + 1.0, rtol=1e-6
     )
+
+
+def test_rank_select_adversarial():
+    """Bit-pattern bisection rank selection is exact on clustered,
+    high-dynamic-range, and outlier-heavy data (regression for the
+    value-space bisection which was only ulp-approximate)."""
+    import jax.numpy as jnp
+    from libpointmatcher_tpu.utils.masked import masked_quantile
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(5, 1500))
+        base = rng.choice([1e-7, 1e-3, 1.0])
+        v = (base * (1 + rng.normal(scale=1e-6, size=n))).astype(np.float32)
+        v[rng.random(n) < 0.1] = 100.0
+        v[rng.random(n) < 0.1] = np.inf
+        finite = np.sort(v[np.isfinite(v)])
+        if len(finite) == 0:
+            continue
+        for q in (0.0, 0.5, 0.85, 1.0):
+            idx = min(int(np.floor(len(finite) * q)), len(finite) - 1)
+            assert float(masked_quantile(jnp.asarray(v), q)) == finite[idx]
