@@ -181,3 +181,32 @@ def test_save_load_dispatch(tmp_path):
         pm.io.save(c, p)
         c2 = pm.io.load(p)
         assert c2.count_host() == c.count_host(), ext
+
+
+def test_malformed_ply_rejected():
+    bad_headers = [
+        "not_a_ply\nformat ascii 1.0\nend_header\n",           # bad magic
+        "ply\nformat ascii 1.0\nproperty float x\nend_header\n",  # property before element
+    ]
+    for text in bad_headers:
+        with pytest.raises(ValueError):
+            load_ply(_io.BytesIO(text.encode()))
+
+
+def test_malformed_pcd_rejected():
+    # missing FIELDS
+    text = "VERSION .7\nPOINTS 1\nDATA ascii\n1 2 3\n"
+    with pytest.raises(ValueError):
+        load_pcd(_io.BytesIO(text.encode()))
+
+
+def test_vtk_wrong_dataset_rejected():
+    text = ("# vtk DataFile Version 3.0\nx\nASCII\n"
+            "DATASET STRUCTURED_POINTS\n")
+    with pytest.raises(ValueError):
+        load_vtk(_io.BytesIO(text.encode()))
+
+
+def test_csv_missing_coordinates_rejected():
+    with pytest.raises(ValueError):
+        load_csv(_io.StringIO("a,b\n1,2\n"))
