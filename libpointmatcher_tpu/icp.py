@@ -451,16 +451,14 @@ class ICP(ICPChainBase):
         while iterate:
             step_reading = reading
             if self.reading_step_filters:
+                # compact=False keeps shapes static so jit_step's cache holds
                 step_reading = apply_filter_chain(
                     self.reading_step_filters,
                     reading,
                     jax.random.fold_in(key, iteration),
                     compact=False,
                 )
-                # shapes changed? keep same buffer size: mask-only filters
-                jit_fn = jax.jit(step)
-            else:
-                jit_fn = jit_step
+            jit_fn = jit_step
             T_new, checker_states, outlier_states, it, c, stats, matches, \
                 weights = jit_fn(
                     step_reading, reference, T_iter, checker_states,
