@@ -10,6 +10,19 @@ loggers) configurable from reference-format YAML, CSV/VTK/PLY/PCD IO, and
 multi-device sharding for large clouds and batched registration.
 """
 
+import jax as _jax
+
+# On TPU, float32 matmuls default to single-pass bf16 on the MXU. For
+# registration geometry that is catastrophic in a subtle way: the 4x4
+# transform compositions inside the ICP loop round their diagonals to 1.0
+# (bf16 spacing at 1.0 is 2^-8), so small per-iteration rotations degrade to
+# non-orthogonal I + θK updates and the pose drifts — caught by the
+# force4DOF golden config failing at 6.5% on chip while exact on CPU. All
+# matmuls in this package therefore run at HIGHEST precision (true f32 via
+# multi-pass bf16); the performance-critical distance kernel does not use
+# the MXU and is unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .cloud import PointCloud  # noqa: F401
 from .errors import (  # noqa: F401
     ConfigurationError,

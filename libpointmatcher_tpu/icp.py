@@ -45,7 +45,7 @@ from .filters.base import DataPointsFilter, apply_filter_chain
 from .inspectors import Inspector, NullInspector
 from .loggers import log_info, log_warning
 from .matchers import Matcher
-from .minimizers import ErrorMinimizer, MinimizerStats
+from .minimizers import ErrorMinimizer, MinimizerStats, estimate_overlap
 from .outlierfilters import (
     OutlierFilter,
     compute_outlier_weights,
@@ -153,6 +153,8 @@ class ICPChainBase:
         (reference: PointToPoint.cpp:119-152 — noise-aware when
         'simpleSensorNoise' descriptors were present; otherwise the weighted
         point-used ratio)."""
+        if getattr(self, "last_overlap", None) is not None:
+            return float(self.last_overlap)
         return self.get_weighted_point_used_ratio()
 
     def get_residual_error(self) -> float:
@@ -313,9 +315,23 @@ class ICP(ICPChainBase):
             "PointCountTouched", self.matcher.get_visit_count()
         )
         self.matcher.reset_visit_count()
-        self.inspector.add_stat(
-            "OverlapRatio", float(self.last_stats.weighted_point_used_ratio)
-        )
+        # Noise-aware overlap when sensor-noise descriptors are available
+        # (reference: PointToPoint.cpp:119-152); otherwise the weighted ratio.
+        self.last_overlap = None
+        if reading.has_descriptor("simpleSensorNoise"):
+            stepped = _apply_transform(self.transformations, reading, T_iter)
+            matches = self.matcher.find_closests_in(stepped, reference)
+            weights, _ = compute_outlier_weights(
+                tuple(self.outlier_filters), stepped, reference, matches,
+                init_outlier_states(self.outlier_filters),
+            )
+            self.last_overlap = float(
+                estimate_overlap(
+                    stepped, reference, weights, matches,
+                    self.last_stats.weighted_point_used_ratio,
+                )
+            )
+        self.inspector.add_stat("OverlapRatio", self.get_overlap())
         self.inspector.add_stat("ConvergenceDuration", time.perf_counter() - t_loop)
         self.inspector.finish(int(iters))
         log_info(

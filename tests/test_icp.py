@@ -215,3 +215,13 @@ def test_reading_step_filters_run_per_iteration():
     T = np.asarray(icp(reading, reference, seed=0))
     np.testing.assert_allclose(T[:3, 3], [0.05, 0, 0], atol=0.02)
     assert icp.last_iteration_count > 1
+
+
+def test_matmul_precision_pinned():
+    """The package must pin f32-accurate matmuls: TPU's default single-pass
+    bf16 rounds the 4x4 transform compositions' diagonals to 1.0, silently
+    degrading every registration (found via the force4DOF golden config:
+    6.5% on chip vs 0.7% on CPU until pinned)."""
+    import jax
+
+    assert "highest" in str(jax.config.jax_default_matmul_precision).lower()
