@@ -78,6 +78,12 @@ class ICPChainBase:
         self.max_num_iterations_reached = False
         self.last_stats: Optional[MinimizerStats] = None
         self.last_iteration_count = 0
+        #: opt-in convergence acceleration: None or "anderson"
+        #: (AA-ICP, \cite{Pavlov2017AAICP}: Anderson acceleration of the
+        #: ICP fixed point over se(n) pose vectors, with a residual-increase
+        #: safeguard falling back to the plain update)
+        self.acceleration: Optional[str] = None
+        self.acceleration_window: int = 3
         self._jit_cache = {}
 
     # ------------------------------------------------------------- defaults
@@ -402,6 +408,8 @@ class ICP(ICPChainBase):
         pairs; the multi-chip path runs it over sharded inputs and lets XLA
         insert the collectives."""
         step = self._make_step(None, None)
+        if self.acceleration == "anderson":
+            return self._make_anderson_runner(step)
 
         def run_loop(reading, reference):
             dim = reading.dim
@@ -433,6 +441,77 @@ class ICP(ICPChainBase):
             T, _, _, _, iters, code, stats = jax.lax.while_loop(
                 cond, body, init
             )
+            return T, iters, code, stats
+
+        return run_loop
+
+    def _make_anderson_runner(self, step):
+        r"""Anderson-accelerated fixed-point driver (AA-ICP,
+        \cite{Pavlov2017AAICP}). The ICP map g(x) is one plain iteration in
+        se(n) pose coordinates; each step extrapolates over a window of the
+        last m fixed-point residuals (constrained least squares, solved via
+        the KKT normal equations — an m x m system on device) and falls back
+        to the plain update whenever the residual norm grows."""
+        m = int(self.acceleration_window)
+
+        def run_loop(reading, reference):
+            dim = reading.dim
+            p = 3 if dim == 2 else 6
+            T0, checker_states, outlier_states, stats0 = (
+                self._init_loop_state(dim)
+            )
+
+            def cond(carry):
+                return carry[3]
+
+            def body(carry):
+                (T_iter, checker_states, outlier_states, _, iteration, code,
+                 stats, G, F, hist_len, prev_fnorm) = carry
+                T_plain, checker_states, outlier_states, iterate, code2, \
+                    stats, _, _ = step(
+                        reading, reference, T_iter, checker_states,
+                        outlier_states, iteration,
+                    )
+                g = se3.pose_to_vec(T_plain)
+                x = se3.pose_to_vec(T_iter)
+                f = g - x
+                fnorm = jnp.linalg.norm(f)
+                # residual grew → restart the window (safeguard)
+                restart = jnp.logical_and(hist_len > 0, fnorm > prev_fnorm)
+                hist_len = jnp.where(restart, 0, hist_len)
+                G = jnp.concatenate([G[1:], g[None]], axis=0)  # [m, p]
+                F = jnp.concatenate([F[1:], f[None]], axis=0)
+                hist_len = jnp.minimum(hist_len + 1, m)
+                # slot j (0 oldest) valid iff j >= m - hist_len
+                slot = jnp.arange(m)
+                valid = (slot >= (m - hist_len)).astype(F.dtype)
+                Fv = F * valid[:, None]
+                A = Fv @ Fv.T + 1e-10 * jnp.eye(m, dtype=F.dtype)
+                # force invalid slots to identity rows (α = 0 there)
+                A = jnp.where(
+                    jnp.logical_and(valid[:, None] > 0, valid[None, :] > 0),
+                    A, jnp.eye(m, dtype=F.dtype),
+                )
+                alpha = jnp.linalg.solve(A, valid)
+                alpha = alpha * valid / jnp.maximum(jnp.sum(alpha * valid), 1e-20)
+                x_acc = alpha @ G
+                T_acc = se3.vec_to_pose(x_acc, dim)
+                use_aa = hist_len > 1
+                T_next = jnp.where(use_aa, T_acc, T_plain)
+                return (
+                    T_next, checker_states, outlier_states, iterate,
+                    iteration + 1, jnp.maximum(code, code2), stats,
+                    G, F, hist_len, fnorm,
+                )
+
+            zeros = jnp.zeros((m, p), T0.dtype)
+            init = (
+                T0, checker_states, outlier_states, jnp.asarray(True),
+                jnp.int32(0), jnp.int32(0), stats0,
+                zeros, zeros, jnp.int32(0), jnp.float32(jnp.inf),
+            )
+            out = jax.lax.while_loop(cond, body, init)
+            T, _, _, _, iters, code, stats = out[:7]
             return T, iters, code, stats
 
         return run_loop

@@ -150,3 +150,20 @@ def orthogonalize(T):
 def normalize_angle(a):
     """Wrap to (-π, π] (reference: Functions.h:43-60)."""
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+
+
+def pose_to_vec(T):
+    """Homogeneous transform → minimal pose vector ([θ, t] in 2D,
+    [ω, t] in 3D) with the decoupled rotation/translation convention."""
+    d = T.shape[-1] - 1
+    if d == 2:
+        theta = jnp.arctan2(T[1, 0], T[0, 0])
+        return jnp.concatenate([theta[None], T[:2, 2]])
+    return jnp.concatenate([log_rotation(T[:3, :3]), T[:3, 3]])
+
+
+def vec_to_pose(v, dim: int):
+    """Inverse of :func:`pose_to_vec`."""
+    if dim == 2:
+        return from_rt(rot2d(v[0]).astype(v.dtype), v[1:3])
+    return from_rt(rodrigues(v[:3]), v[3:6])

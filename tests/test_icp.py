@@ -225,3 +225,23 @@ def test_matmul_precision_pinned():
     import jax
 
     assert "highest" in str(jax.config.jax_default_matmul_precision).lower()
+
+
+def test_anderson_acceleration_converges_faster(data3d, ref3d):
+    """AA-ICP (opt-in) reaches the same pose in fewer iterations."""
+    from tests.conftest import validate_3d
+
+    plain = pm.ICP()
+    plain.set_default()
+    T_plain = np.asarray(plain(data3d, ref3d, seed=42))
+    it_plain = plain.last_iteration_count
+
+    acc = pm.ICP()
+    acc.set_default()
+    acc.acceleration = "anderson"
+    T_acc = np.asarray(acc(data3d, ref3d, seed=42))
+    it_acc = acc.last_iteration_count
+
+    validate_3d(T_acc)
+    np.testing.assert_allclose(T_acc, T_plain, atol=0.02)
+    assert it_acc <= it_plain
