@@ -104,6 +104,13 @@ BIBLIOGRAPHY: Dict[str, Dict[str, str]] = {
         "journal": "Autonomous Robots",
         "year": "2013", "volume": "34", "number": "3", "pages": "133--148",
     },
+    "Pavlov2017AAICP": {
+        "type": "inproceedings",
+        "title": "AA-ICP: Iterative Closest Point with Anderson Acceleration",
+        "author": "Pavlov, A.L. and Ovchinnikov, G.V. and Derbyshev, D.Y. and Tsetserukou, D. and Oseledets, I.V.",
+        "booktitle": "2018 IEEE International Conference on Robotics and Automation (ICRA)",
+        "year": "2018", "pages": "3407--3412",
+    },
     "Masuda1996Random": {
         "type": "article",
         "title": "Registration and integration of multiple range images for 3-D model construction",
