@@ -50,9 +50,14 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
     infos = load_file_info_vector(protocol_csv, data_path=data_path)
     if limit:
         infos = infos[:limit]
-    icp = pm.ICP()
     with open(config_yaml) as f:
         yaml_text = f.read()
+    # ONE engine for the whole sweep: the fused loop compiles once per
+    # shape bucket and is reused across pairs (per-run module state is
+    # re-initialized inside compute; a fresh ICP per pair would discard the
+    # jit cache and re-trace every pair)
+    icp = pm.ICP()
+    icp.load_from_yaml(yaml_text)
 
     results = []
     cache = {}
@@ -65,10 +70,6 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
         reference = cache.get(info.reference)
         if reference is None:
             reference = cache[info.reference] = pm.io.load(info.reference)
-        # fresh chain per pair (stateful modules reset), same jit cache via
-        # bucketed shapes
-        icp = pm.ICP()
-        icp.load_from_yaml(yaml_text)
         T_init = (
             np.asarray(info.initial_transformation, np.float32)
             if info.initial_transformation is not None else None

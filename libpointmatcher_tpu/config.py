@@ -131,6 +131,18 @@ def configure_chain_from_yaml(chain, source: Union[str, io.IOBase, dict]) -> Non
                 f"{list(VALID_SECTIONS)}"
             )
 
+    # Full reset first, mirroring the reference's cleanup() before loading
+    # (ICP.cpp:117-128): a config defines the WHOLE chain; sections absent
+    # from the YAML leave their slot empty, never a stale module.
+    from .inspectors import NullInspector
+
+    chain.matcher = None
+    chain.outlier_filters = []
+    chain.error_minimizer = None
+    chain.checkers = []
+    chain.inspector = NullInspector()
+    chain.transformations = [RigidTransformation()]
+
     # logger first (reference: ICP.cpp:131-135)
     if "logger" in doc:
         set_logger(create_from_spec(LoggerRegistrar, doc["logger"]))

@@ -124,6 +124,31 @@ class ICPChainBase:
         self._jit_cache = {}
 
     # ------------------------------------------------------------ utilities
+    def _config_fingerprint(self) -> tuple:
+        """Hashable snapshot of the chain configuration; part of every
+        jit-cache key so mutating modules in place (swap a matcher, toggle
+        icp.acceleration, …) never reuses a stale compiled loop."""
+
+        def mod(m):
+            if m is None:
+                return None
+            return (
+                type(m).__name__,
+                tuple(sorted(m.parameters.items())),
+                getattr(m, "cache_token", None),
+            )
+
+        return (
+            tuple(mod(f) for f in self.reading_step_filters),
+            mod(self.matcher),
+            tuple(mod(f) for f in self.outlier_filters),
+            mod(self.error_minimizer),
+            tuple(mod(c) for c in self.checkers),
+            tuple(type(t).__name__ for t in self.transformations),
+            self.acceleration,
+            self.acceleration_window,
+        )
+
     def _require_modules(self):
         if self.matcher is None:
             raise RuntimeError("You must setup a matcher before running ICP")
@@ -394,7 +419,8 @@ class ICP(ICPChainBase):
             else None
         )
         stats0 = MinimizerStats(
-            jnp.float32(0), jnp.float32(0), jnp.float32(0), cov0
+            jnp.float32(0), jnp.float32(0), jnp.float32(0), cov0,
+            jnp.int32(0), jnp.int32(0),
         )
         return T0, checker_states, outlier_states, stats0
 
@@ -496,7 +522,12 @@ class ICP(ICPChainBase):
                 alpha = alpha * valid / jnp.maximum(jnp.sum(alpha * valid), 1e-20)
                 x_acc = alpha @ G
                 T_acc = se3.vec_to_pose(x_acc, dim)
-                use_aa = hist_len > 1
+                # trust region: reject extrapolations far beyond the plain
+                # step (degenerate residual history makes the constrained
+                # solve blow up); checkers only validated T_plain, so a wild
+                # T_acc must never be carried or returned
+                trust = jnp.linalg.norm(x_acc - g) <= 10.0 * fnorm
+                use_aa = jnp.logical_and(hist_len > 1, trust)
                 T_next = jnp.where(use_aa, T_acc, T_plain)
                 return (
                     T_next, checker_states, outlier_states, iterate,
@@ -524,6 +555,7 @@ class ICP(ICPChainBase):
             reading.dim,
             reading.descriptor_labels(),
             reference.descriptor_labels(),
+            self._config_fingerprint(),
         )
         runner = self._jit_cache.get(cache_key)
         if runner is None:
@@ -634,6 +666,12 @@ class ICPSequence(ICP):
 
     def compute(self, reading: PointCloud, reference=None, T_init=None,
                 seed: int = 0):
+        if reference is not None:
+            raise RuntimeError(
+                "ICPSequence registers against its persistent map — call "
+                "set_map(cloud) instead of passing a reference (reference: "
+                "ICP.cpp:577-609); use ICP for one-shot pairs"
+            )
         dim = reading.dim
         if T_init is None:
             T_init = se3.identity(dim)

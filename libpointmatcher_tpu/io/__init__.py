@@ -61,11 +61,11 @@ def save(cloud: PointCloud, path: str, binary: bool = False) -> None:
     if ext == ".ply":
         from .plyio import save_ply
 
-        return save_ply(cloud, path)
+        return save_ply(cloud, path, binary=binary)
     if ext == ".pcd":
         from .pcdio import save_pcd
 
-        return save_pcd(cloud, path)
+        return save_pcd(cloud, path, binary=binary)
     raise RuntimeError(
         f"unknown extension for file {path}; supported: .csv .vtk .ply .pcd"
     )

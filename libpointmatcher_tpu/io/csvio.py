@@ -63,21 +63,37 @@ def load_csv(source: Union[str, TextIO], granule: int = 256) -> PointCloud:
         ]
         data_lines = lines
 
+    from .labels import TIME, external_label_info
+
+    time_col_idx = [
+        i for i, name in enumerate(col_names)
+        if (external_label_info(name) or (None, None, None))[1] == TIME
+    ]
+
     data = None
-    if data_lines:
+    if data_lines and not time_col_idx:
         # fast path: the native tokenizer (native/pm_native.cpp) parses the
-        # whole numeric block in one pass (~20x the Python float() loop)
+        # whole numeric block in one pass (~20x the Python float() loop).
+        # Skipped when int64 time columns are present: they must not pass
+        # through float64.
         from . import native
 
         vals = native.parse_floats("\n".join(data_lines).encode())
         if vals is not None and len(vals) == len(data_lines) * len(col_names):
             data = vals.reshape(len(data_lines), len(col_names))
     if data is None:
-        rows = [[float(t) for t in _split(ln, delim)] for ln in data_lines]
-        data = np.asarray(rows, dtype=np.float64)
-        if data.ndim != 2 or data.shape[1] != len(col_names):
-            # ragged safety: trim to the named column count
-            data = data[:, : len(col_names)]
+        token_rows = [_split(ln, delim) for ln in data_lines]
+        cols = []
+        for ci in range(len(col_names)):
+            if ci in time_col_idx:
+                cols.append(
+                    np.asarray([int(r[ci]) for r in token_rows], np.int64)
+                )
+            else:
+                cols.append(
+                    np.asarray([float(r[ci]) for r in token_rows], np.float64)
+                )
+        data = cols
     points, descriptors, times = group_columns(col_names, data)
     return PointCloud.from_numpy(points, descriptors, times, granule=granule)
 

@@ -67,18 +67,25 @@ def external_label_info(name: str) -> Optional[Tuple[str, str, int]]:
     return _EXTERNAL.get(name)
 
 
-def group_columns(col_names: List[str], data: np.ndarray):
-    """Split a column-name list + [N, C] array into (points, descriptors,
-    times) following the label table. Unknown columns become 1-D descriptors
-    under their own name (reference CSV behavior)."""
-    n = data.shape[0]
+def group_columns(col_names: List[str], data):
+    """Split columns into (points, descriptors, times) following the label
+    table. ``data`` is either an [N, C] array or a list of C per-column 1-D
+    arrays (the latter preserves integer dtypes — int64 time channels must
+    not round-trip through float64, which quantizes nanosecond epochs to
+    ~256 ns). Unknown columns become 1-D descriptors under their own name
+    (reference CSV behavior)."""
+    columns = (
+        [data[:, i] for i in range(data.shape[1])]
+        if isinstance(data, np.ndarray) and data.ndim == 2
+        else list(data)
+    )
     feat_cols = {}
     desc_cols: Dict[str, Dict[int, np.ndarray]] = {}
     time_cols: Dict[str, Dict[int, np.ndarray]] = {}
     extra_order: List[str] = []
     for ci, name in enumerate(col_names):
         info = external_label_info(name)
-        col = data[:, ci]
+        col = columns[ci]
         if info is None:
             desc_cols.setdefault(name, {})[0] = col
             if name not in extra_order:
@@ -112,9 +119,14 @@ def group_columns(col_names: List[str], data: np.ndarray):
             descriptors[name] = arr
         elif name in time_cols:
             group = time_cols[name]
-            arr = np.stack([group[p] for p in sorted(group)], axis=1).astype(
-                np.int64
-            )
+            cols = [group[p] for p in sorted(group)]
+            if any(np.issubdtype(c.dtype, np.floating) for c in cols):
+                # float-parsed time column: exact only below 2^53
+                arr = np.stack(cols, axis=1).astype(np.int64)
+            else:
+                arr = np.stack(
+                    [c.astype(np.int64) for c in cols], axis=1
+                )
             times[name] = arr
     return points, descriptors, times
 

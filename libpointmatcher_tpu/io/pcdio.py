@@ -79,14 +79,24 @@ def load_pcd(source: Union[str, BinaryIO], granule: int = 256) -> PointCloud:
         else:
             col_names.extend(f"{fname}{i}" for i in range(cnt))
 
+    from .labels import TIME, external_label_info
+
+    time_cols = {
+        i for i, name in enumerate(col_names)
+        if (external_label_info(name) or (None, None, None))[1] == TIME
+    }
     if data_mode == "ascii":
         text = data[pos:].decode("ascii", errors="replace")
-        rows = [
-            [float(t) for t in ln.split()]
-            for ln in text.splitlines()
-            if ln.strip()
+        token_rows = [ln.split() for ln in text.splitlines() if ln.strip()]
+        token_rows = token_rows[:n_points]
+        arr = [
+            np.asarray(
+                [int(r[ci]) for r in token_rows], np.int64
+            ) if ci in time_cols else np.asarray(
+                [float(r[ci]) for r in token_rows], np.float64
+            )
+            for ci in range(len(col_names))
         ]
-        arr = np.asarray(rows[:n_points], np.float64)
     elif data_mode == "binary":
         dt = np.dtype(
             [
@@ -96,9 +106,8 @@ def load_pcd(source: Union[str, BinaryIO], granule: int = 256) -> PointCloud:
             ]
         )
         rec = np.frombuffer(data, dt, n_points, pos)
-        arr = np.stack(
-            [rec[name].astype(np.float64) for name in rec.dtype.names], axis=1
-        )
+        # per-column arrays keep native dtypes (int64 times stay exact)
+        arr = [rec[name] for name in rec.dtype.names]
     else:
         raise ValueError(f"PCD: unsupported DATA mode {data_mode}")
 

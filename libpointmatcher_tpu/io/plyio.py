@@ -123,9 +123,8 @@ def load_ply(source: Union[str, BinaryIO], granule: int = 256) -> PointCloud:
                 )
                 rec = np.frombuffer(body, dt, count, offset)
                 offset += dt.itemsize * count
-                arr = np.stack(
-                    [rec[pname].astype(np.float64) for pname, _ in props], axis=1
-                )
+                # per-column list keeps native dtypes (int64 times stay exact)
+                arr = [rec[pname] for pname, _ in props]
             if name == "vertex":
                 vertex = (props, arr)
 
@@ -133,6 +132,18 @@ def load_ply(source: Union[str, BinaryIO], granule: int = 256) -> PointCloud:
         raise ValueError("PLY: no vertex element")
     props, arr = vertex
     col_names = [p for p, t in props if not t.startswith("list")]
+    if isinstance(arr, np.ndarray):
+        from .labels import TIME, external_label_info
+
+        time_cols = {
+            i for i, name in enumerate(col_names)
+            if (external_label_info(name) or (None, None, None))[1] == TIME
+        }
+        if time_cols:
+            arr = [
+                arr[:, i].astype(np.int64) if i in time_cols else arr[:, i]
+                for i in range(arr.shape[1])
+            ]
     points, descriptors, times = group_columns(col_names, arr)
     return PointCloud.from_numpy(points, descriptors, times, granule=granule)
 

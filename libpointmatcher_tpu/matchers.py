@@ -168,10 +168,13 @@ class CellGridMatcher(Matcher):
               min=0.0000001),
     )
 
+    _init_counter = 0
+
     def __init__(self, params=None):
         super().__init__(params)
         self._grid = None
-        self._grid_ref = None
+        self._grid_shape = None
+        self.cache_token = None
 
     def init(self, reference: PointCloud) -> None:
         from .ops.cellgrid import build_cell_grid
@@ -181,11 +184,18 @@ class CellGridMatcher(Matcher):
 
         host = jax.device_get((reference.points, reference.mask))
         self._grid = build_cell_grid(host[0], host[1], float(self.maxDist))
-        self._grid_ref = reference
+        self._grid_shape = tuple(reference.points.shape)
+        # the grid arrays are closed over (baked into traced programs as
+        # constants); bump the token so engine jit-cache keys change per init
+        CellGridMatcher._init_counter += 1
+        self.cache_token = CellGridMatcher._init_counter
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
-        if self._grid is None or ref is not self._grid_ref:
-            # pure fallback for callers that pass a fresh reference
+        # Inside the jitted loop ``ref`` is a tracer, so the engine contract
+        # (init(reference) then the loop passes that same reference) is
+        # checked by shape: the grid's order array indexes rows of ``ref``.
+        if self._grid is None or tuple(ref.points.shape) != self._grid_shape:
+            # pure fallback for callers that pass a different reference
             dists, ids = knn_brute_force(
                 reading.points, reading.mask, ref.points, ref.mask, k=self.knn
             )

@@ -39,9 +39,10 @@ class MinimizerStats(NamedTuple):
     weighted_point_used_ratio: jnp.ndarray  # scalar
     residual: jnp.ndarray  # scalar
     covariance: object = None  # [6,6] for the WithCov minimizers, else None
-    # rejection counters (reference: ErrorMinimizer.cpp:186-187)
-    nb_rejected_matches: jnp.ndarray = jnp.int32(0)
-    nb_rejected_points: jnp.ndarray = jnp.int32(0)
+    # rejection counters (reference: ErrorMinimizer.cpp:186-187); plain-int
+    # defaults so importing the package does not touch the JAX backend
+    nb_rejected_matches: object = 0
+    nb_rejected_points: object = 0
 
 
 class Pairs(NamedTuple):

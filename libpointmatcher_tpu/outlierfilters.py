@@ -159,16 +159,25 @@ class VarTrimmedDistOutlierFilter(OutlierFilter):
 
     def compute(self, reading, reference, matches, state):
         dists = matches.dists
-        total = dists.size  # reference uses the full entry count for ratios
-        valid = jnp.logical_and(jnp.isfinite(dists), dists > 0)
-        s = jnp.sort(jnp.where(valid, jnp.ravel(dists), jnp.inf))
-        cumsum = jnp.cumsum(s)  # +inf tail poisons the invalid region → never argmin
-        lo = int(math.floor(self.minRatio * total))
-        hi = int(math.floor(self.maxRatio * total))
-        ids = jnp.arange(lo + 1, hi + 1, dtype=jnp.float32)
-        ratio = ids / total
-        frms = cumsum[lo:hi] / ids / ratio ** (2.0 * self.parameters["lambda"])
-        opt_ratio = (jnp.argmin(frms) + lo).astype(jnp.float32) / total
+        # Ratios are fractions of the *real* match population (finite,
+        # nonzero) — with fixed-shape padding the raw entry count would
+        # inflate the denominator and collapse the kept set.
+        flat = jnp.ravel(dists)
+        valid = jnp.logical_and(jnp.isfinite(flat), flat > 0)
+        n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+        s = jnp.sort(jnp.where(valid, flat, jnp.inf))
+        cumsum = jnp.cumsum(s)  # +inf tail poisons the padding region
+        ids = jnp.arange(1, dists.size + 1, dtype=jnp.float32)
+        ratio = ids / n
+        in_window = jnp.logical_and(
+            ids >= jnp.floor(self.minRatio * n) + 1.0,
+            ids <= jnp.floor(self.maxRatio * n),
+        )
+        frms = cumsum / ids / ratio ** (2.0 * self.parameters["lambda"])
+        frms = jnp.where(in_window, frms, jnp.inf)
+        # reference indexing convention: optRatio = (minIndex + minEl)/n and
+        # the quantile indexes floor(n·ratio) (OutlierFiltersImpl.cpp:215-219)
+        opt_ratio = jnp.argmin(frms).astype(jnp.float32) / n
         limit = masked_quantile(dists, opt_ratio)
         return (dists <= limit).astype(jnp.float32), state
 

@@ -118,6 +118,7 @@ def register_batch(
         "batch", b, cap_r, cap_f, dim,
         batch_reading.descriptor_labels(),
         batch_reference.descriptor_labels(),
+        icp._config_fingerprint(),
     )
     runner = icp._jit_cache.get(cache_key)
     if runner is None:
@@ -195,6 +196,7 @@ def register_batch_to_map(
         "batch_map", b, cap_r, reference.num_points, dim,
         batch_reading.descriptor_labels(),
         reference.descriptor_labels(),
+        seq._config_fingerprint(),
     )
     runner = seq._jit_cache.get(cache_key)
     if runner is None:

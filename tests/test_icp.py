@@ -245,3 +245,35 @@ def test_anderson_acceleration_converges_faster(data3d, ref3d):
     validate_3d(T_acc)
     np.testing.assert_allclose(T_acc, T_plain, atol=0.02)
     assert it_acc <= it_plain
+
+
+def test_jit_cache_keyed_by_configuration(data3d, ref3d):
+    """Mutating the chain (e.g. toggling acceleration) must never reuse a
+    stale compiled loop (regression: cache key lacked the configuration)."""
+    icp = pm.ICP()
+    icp.set_default()
+    icp(data3d, ref3d, seed=42)
+    it_plain = icp.last_iteration_count
+    icp.acceleration = "anderson"
+    icp(data3d, ref3d, seed=42)
+    it_aa = icp.last_iteration_count
+
+    fresh = pm.ICP()
+    fresh.set_default()
+    fresh.acceleration = "anderson"
+    fresh(data3d, ref3d, seed=42)
+    assert it_aa == fresh.last_iteration_count
+    assert it_aa <= it_plain
+
+
+def test_load_from_yaml_resets_all_slots():
+    """A YAML config defines the whole chain: unspecified sections must not
+    inherit modules from a previous configuration (reference cleanup()
+    semantics, ICP.cpp:117-128)."""
+    icp = pm.ICP()
+    icp.set_default()
+    icp.load_from_yaml("readingDataPointsFilters:\n  - IdentityDataPointsFilter\n")
+    assert icp.matcher is None
+    assert icp.error_minimizer is None
+    assert icp.outlier_filters == []
+    assert icp.checkers == []

@@ -210,3 +210,27 @@ def test_vtk_wrong_dataset_rejected():
 def test_csv_missing_coordinates_rejected():
     with pytest.raises(ValueError):
         load_csv(_io.StringIO("a,b\n1,2\n"))
+
+
+def test_save_binary_flag_respected(tmp_path):
+    c = sample_cloud(n=10, with_desc=False)
+    for ext in ("ply", "pcd", "vtk"):
+        p = str(tmp_path / f"b.{ext}")
+        pm.io.save(c, p, binary=True)
+        head = open(p, "rb").read(200)
+        assert b"ascii" not in head.lower() or ext == "vtk" and b"BINARY" in head, (ext, head)
+        c2 = pm.io.load(p)
+        assert c2.count_host() == 10
+
+
+def test_pcd_binary_int64_time_roundtrip(tmp_path):
+    import io as _io2
+    # binary PCD with an int64 time field parses exactly
+    t = 1723880000123456789
+    import struct
+    header = (b"VERSION .7\nFIELDS x y z time\nSIZE 4 4 4 8\n"
+              b"TYPE F F F I\nCOUNT 1 1 1 1\nWIDTH 1\nHEIGHT 1\n"
+              b"POINTS 1\nDATA binary\n")
+    body = struct.pack("<fffq", 1.0, 2.0, 3.0, t)
+    c = load_pcd(_io.BytesIO(header + body))
+    assert c.to_numpy()[2]["time"][0, 0] == t
