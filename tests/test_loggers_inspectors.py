@@ -120,3 +120,32 @@ def test_rejection_counters(data3d, ref3d):
     total = icp.get_nb_rejected_matches()
     used = icp.get_point_used_ratio()
     assert 0.3 < used < 0.7
+
+
+def test_vtk_inspector_dumps_iterations(tmp_path, monkeypatch):
+    """VTKFileInspector forces the stepped engine and writes per-iteration
+    clouds + link files that parse back (reference: InspectorsImpl.cpp)."""
+    import glob
+    import numpy as np
+    from libpointmatcher_tpu.io import load_vtk
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, size=(300, 3)).astype(np.float32)
+    a = pm.PointCloud.from_numpy(src)
+    b = pm.PointCloud.from_numpy(src + np.float32([0.05, 0, 0]))
+    icp = pm.ICP()
+    icp.set_default()
+    icp.reading_filters = []
+    icp.inspector = pm.InspectorRegistrar.create(
+        "VTKFileInspector",
+        {"baseFileName": "dump", "dumpReading": "1", "dumpDataLinks": "1",
+         "writeBinary": "1"},
+    )
+    icp(a, b, seed=0)
+    readings = sorted(glob.glob("dump-reading-*.vtk"))
+    links = sorted(glob.glob("dump-link-*.vtk"))
+    assert len(readings) == icp.last_iteration_count
+    assert len(links) == icp.last_iteration_count
+    c = load_vtk(readings[0])
+    assert c.count_host() == 300
