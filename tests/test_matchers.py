@@ -35,8 +35,8 @@ def test_kdtree_matcher_knn_and_maxdist():
     assert np.all(d[finite] <= 0.5**2 + 1e-6)
     assert np.all(i[~finite] == -1)
     # ascending per row (rows with any finite entries)
-    df = np.where(finite, d, np.inf)
-    diffs = np.diff(df, axis=1)
+    with np.errstate(invalid="ignore"):
+        diffs = np.diff(np.where(finite, d, np.inf), axis=1)
     assert np.all(diffs[np.isfinite(diffs)] >= -1e-6)
 
 
