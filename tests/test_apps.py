@@ -113,3 +113,32 @@ def test_list_modules_bibliography(capsys):
     assert "KDTreeMatcher" in out
     # citations resolved
     assert "Besl" in out or "Chen" in out
+
+
+def test_align_sequence_builds_map(tmp_path, monkeypatch):
+    """Scan-to-map odometry over a 3-scan synthetic sequence
+    (reference: examples/align_sequence.cpp flow)."""
+    import numpy as np
+    from libpointmatcher_tpu.apps import align_sequence
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-2, 2, size=(1500, 3)).astype(np.float32)
+
+    def rotz(a):
+        return np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+             [0, 0, 1]], np.float32)
+
+    names = []
+    for i in range(3):
+        R = rotz(0.02 * i)
+        t = np.float32([0.05 * i, 0.02 * i, 0.0])
+        pm.io.save(pm.PointCloud.from_numpy(base @ R.T + t), f"scan{i}.csv")
+        names.append(f"scan{i}.csv")
+    with open("list.csv", "w") as f:
+        f.write("reading\n" + "\n".join(names) + "\n")
+    rc = align_sequence.main(["list.csv", "--output", "map.vtk"])
+    assert rc == 0
+    merged = pm.io.load("map.vtk")
+    assert merged.count_host() > 1000
