@@ -142,3 +142,20 @@ def test_align_sequence_builds_map(tmp_path, monkeypatch):
     assert rc == 0
     merged = pm.io.load("map.vtk")
     assert merged.count_host() > 1000
+
+
+def test_demo_pipeline_end_to_end():
+    """Full stack: synthetic trajectory → ICPSequence odometry with priors →
+    pose-graph refinement with a loop closure → ATE improves."""
+    import contextlib
+    import io as _io2
+    from libpointmatcher_tpu.apps import demo_pipeline
+
+    buf = _io2.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = demo_pipeline.main(["--scans", "4", "--decimate", "12"])
+    assert rc == 0
+    import json
+    last = buf.getvalue().strip().splitlines()[-1]
+    out = json.loads(last)
+    assert out["ate_refined"] <= out["ate_odometry_noisy"]
