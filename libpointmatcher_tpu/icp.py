@@ -310,9 +310,16 @@ class ICP(ICPChainBase):
             not self.reading_step_filters
             and not self.inspector.needs_iteration_data
         )
+        # per-registration matcher setup (e.g. BlockGridMatcher's static
+        # query-cell assignment); None for matchers that need none. Skipped
+        # under step filters: those change which points are live each
+        # iteration, voiding a loop-start assignment.
+        matcher_aux = (
+            self.matcher.prepare_loop(reading) if fused else None
+        )
         if fused:
             T_iter, iters, code, stats = self._run_fused(
-                reading, reference, jax.random.fold_in(key, 3)
+                reading, reference, jax.random.fold_in(key, 3), matcher_aux
             )
         else:
             T_iter, iters, code, stats = self._run_stepped(
@@ -383,9 +390,14 @@ class ICP(ICPChainBase):
         transformations = tuple(self.transformations)
 
         def step(reading, reference, T_iter, checker_states, outlier_states,
-                 iteration):
+                 iteration, matcher_aux=None):
             stepped = _apply_transform(transformations, reading, T_iter)
-            matches = matcher.find_closests_in(stepped, reference)
+            if matcher_aux is not None:
+                matches = matcher.find_closests_in(
+                    stepped, reference, aux=matcher_aux
+                )
+            else:
+                matches = matcher.find_closests_in(stepped, reference)
             weights, outlier_states = compute_outlier_weights(
                 outliers, stepped, reference, matches, outlier_states
             )
@@ -437,7 +449,7 @@ class ICP(ICPChainBase):
         if self.acceleration == "anderson":
             return self._make_anderson_runner(step)
 
-        def run_loop(reading, reference):
+        def run_loop(reading, reference, matcher_aux=None):
             dim = reading.dim
             T0, checker_states, outlier_states, stats0 = (
                 self._init_loop_state(dim)
@@ -453,7 +465,7 @@ class ICP(ICPChainBase):
                 T_new, checker_states, outlier_states, iterate, code2, \
                     stats, _, _ = step(
                         reading, reference, T_iter, checker_states,
-                        outlier_states, iteration,
+                        outlier_states, iteration, matcher_aux,
                     )
                 return (
                     T_new, checker_states, outlier_states, iterate,
@@ -480,7 +492,7 @@ class ICP(ICPChainBase):
         to the plain update whenever the residual norm grows."""
         m = int(self.acceleration_window)
 
-        def run_loop(reading, reference):
+        def run_loop(reading, reference, matcher_aux=None):
             dim = reading.dim
             p = 3 if dim == 2 else 6
             T0, checker_states, outlier_states, stats0 = (
@@ -496,7 +508,7 @@ class ICP(ICPChainBase):
                 T_plain, checker_states, outlier_states, iterate, code2, \
                     stats, _, _ = step(
                         reading, reference, T_iter, checker_states,
-                        outlier_states, iteration,
+                        outlier_states, iteration, matcher_aux,
                     )
                 g = se3.pose_to_vec(T_plain)
                 x = se3.pose_to_vec(T_iter)
@@ -547,7 +559,11 @@ class ICP(ICPChainBase):
 
         return run_loop
 
-    def _run_fused(self, reading, reference, key):
+    def _run_fused(self, reading, reference, key, matcher_aux=None):
+        aux_shapes = (
+            tuple(sorted((k, tuple(v.shape)) for k, v in matcher_aux.items()))
+            if matcher_aux is not None else None
+        )
         cache_key = (
             "fused",
             reading.num_points,
@@ -555,6 +571,7 @@ class ICP(ICPChainBase):
             reading.dim,
             reading.descriptor_labels(),
             reference.descriptor_labels(),
+            aux_shapes,
             self._config_fingerprint(),
         )
         runner = self._jit_cache.get(cache_key)
@@ -562,7 +579,7 @@ class ICP(ICPChainBase):
             runner = jax.jit(self.make_loop_runner())
             self._jit_cache[cache_key] = runner
 
-        return runner(reading, reference)
+        return runner(reading, reference, matcher_aux)
 
     # -------------------------------------------------------- stepped driver
     def _run_stepped(self, reading, reference, key):

@@ -33,6 +33,7 @@ __all__ = [
     "NullMatcher",
     "KDTreeMatcher",
     "KDTreeVarDistMatcher",
+    "BlockGridMatcher",
     "MatcherRegistrar",
 ]
 
@@ -74,6 +75,18 @@ class Matcher(Parametrizable):
         executable and going stale if the same chain is reused with a new
         reference of identical shape)."""
         raise NotImplementedError
+
+    def prepare_loop(self, reading: PointCloud):
+        """Optional host-side per-registration setup (called by the ICP
+        engine once per registration, with the reading at its *initial*
+        pose, before the fused loop is entered). Returns an aux pytree of
+        arrays threaded into :meth:`find_closests_in` as ``aux=``, or
+        ``None`` (the default) when the matcher needs no loop-scoped state.
+
+        This is the tpu analogue of a per-registration acceleration
+        structure build: shapes derived here stay static for the whole
+        ``lax.while_loop``."""
+        return None
 
     # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
     # brute force inspects every (valid reading, valid reference) pair.
@@ -210,6 +223,100 @@ class CellGridMatcher(Matcher):
             float(self.maxDist), k=self.knn,
         )
         return Matches(dists, ids)
+
+
+@MatcherRegistrar.register
+class BlockGridMatcher(Matcher):
+    """Bounded-radius 1-NN via static cell blocks — the large-cloud matcher
+    built for the fused loop (extension beyond the reference registry; see
+    ops/cellblocks.py for the design).
+
+    Unlike :class:`CellGridMatcher` (per-point neighbor gathers, measured
+    random-gather-bound on TPU), this matcher does dense block sweeps with
+    shapes fixed per registration: the reference is cell-sorted at
+    ``init`` and queries are assigned to cells once at loop start via the
+    engine's :meth:`prepare_loop` hook. Exactness across the moving loop
+    relies on the cell edge being ``maxDist + motionBound``: as long as no
+    point moves farther than ``motionBound`` from its initial pose during
+    the registration, the 3^d neighborhood always covers the true
+    ``maxDist`` ball. Set ``motionBound`` to an upper bound on the expected
+    ICP correction (prior error), e.g. the BoundTransformationChecker
+    budget. Points with no neighbor inside ``maxDist`` get (+inf, -1) —
+    the same contract as ``KDTreeMatcher`` with ``maxDist``.
+    """
+
+    PARAMS = (
+        Param("knn", "number of nearest neighbors (this matcher supports 1)",
+              int, 1, min=1, max=1),
+        Param("maxDist", "maximum distance to consider for neighbors "
+              "(required finite)", float, 1.0, min=0.0000001),
+        Param("motionBound", "upper bound on how far any reading point "
+              "moves during one registration (cell edge = maxDist + "
+              "motionBound)", float, 1.0, min=0.0),
+    )
+
+    _init_counter = 0
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self._blocks = None
+        self._ref_shape = None
+        self.cache_token = None
+
+    @property
+    def _cell_size(self) -> float:
+        return float(self.maxDist) + float(self.motionBound)
+
+    def init(self, reference: PointCloud) -> None:
+        from .ops.cellblocks import build_ref_blocks
+
+        super().init(reference)
+        import jax
+
+        pts, mask = jax.device_get((reference.points, reference.mask))
+        self._blocks = build_ref_blocks(pts, mask, self._cell_size)
+        self._ref_shape = tuple(reference.points.shape)
+        BlockGridMatcher._init_counter += 1
+        self.cache_token = BlockGridMatcher._init_counter
+
+    def prepare_loop(self, reading: PointCloud):
+        if self._blocks is None:
+            return None
+        import jax
+
+        pts, mask = jax.device_get((reading.points, reading.mask))
+        from .ops.cellblocks import assign_query_blocks
+
+        qb = assign_query_blocks(pts, mask, self._blocks)
+        # everything the traced path needs travels as jit arguments — no
+        # arrays baked into the program as constants
+        return {
+            "rows": qb.rows,
+            "nb_slots": qb.nb_slots,
+            "blocks": self._blocks.blocks,
+            "block_ids": self._blocks.block_ids,
+        }
+
+    def find_closests_in(self, reading: PointCloud, ref: PointCloud,
+                         aux=None) -> Matches:
+        if aux is not None and tuple(ref.points.shape) == self._ref_shape:
+            from .ops.cellblocks import QueryBlocks, block_nn1
+
+            qb = QueryBlocks(rows=aux["rows"], nb_slots=aux["nb_slots"])
+            d1, i1 = block_nn1(
+                reading.points, qb, aux["blocks"], aux["block_ids"],
+                float(self.maxDist),
+            )
+            return Matches(d1[:, None], i1[:, None])
+        # pure fallback (engine paths without prepare_loop: vmapped batch,
+        # post-loop overlap estimation, direct calls)
+        dists, ids = knn_brute_force(
+            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+        )
+        keep = dists <= jnp.float32(self.maxDist) ** 2
+        return Matches(
+            jnp.where(keep, dists, jnp.inf), jnp.where(keep, ids, -1)
+        )
 
 
 @MatcherRegistrar.register

@@ -106,3 +106,88 @@ def test_cell_grid_through_engine(data3d, ref3d):
     icp.matcher = Reg.create("CellGridMatcher", {"knn": "1", "maxDist": "2.0"})
     T = icp(data3d, ref3d, seed=0)
     validate_3d(T)
+
+
+def test_block_grid_matches_brute_force():
+    """block_nn1 through prepare_loop must agree exactly with
+    KDTreeMatcher+maxDist (static queries, motionBound 0)."""
+    a, b = clouds(n=500, m=800, seed=5)
+    kd = Reg.create("KDTreeMatcher", {"knn": "1", "maxDist": "0.4"})
+    bg = Reg.create("BlockGridMatcher",
+                    {"maxDist": "0.4", "motionBound": "0.0"})
+    kd.init(b)
+    bg.init(b)
+    m1 = kd.find_closests(a)
+    aux = bg.prepare_loop(a)
+    assert aux is not None
+    m2 = bg.find_closests_in(a, b, aux=aux)
+    d1, i1 = np.asarray(m1.dists)[:, 0], np.asarray(m1.ids)[:, 0]
+    d2, i2 = np.asarray(m2.dists)[:, 0], np.asarray(m2.ids)[:, 0]
+    assert np.array_equal(np.isfinite(d1), np.isfinite(d2))
+    f = np.isfinite(d1)
+    np.testing.assert_allclose(d2[f], d1[f], rtol=1e-4, atol=1e-6)
+    diff = (i1 != i2) & f
+    assert np.all(np.abs(d1[diff] - d2[diff]) < 1e-6)  # ties only
+
+
+def test_block_grid_masked_and_far_queries():
+    """Masked-out and out-of-grid queries must come back (+inf, -1)."""
+    rng = np.random.default_rng(7)
+    qa = rng.normal(size=(100, 3)).astype(np.float32)
+    qa[:30] += 100.0  # far outside the reference grid
+    a = pm.PointCloud.from_numpy(qa)
+    mask = np.asarray(a.mask).copy()
+    mask[60:70] = False
+    a = a.replace(mask=mask)
+    _, b = clouds(seed=8)
+    bg = Reg.create("BlockGridMatcher",
+                    {"maxDist": "0.5", "motionBound": "0.0"})
+    bg.init(b)
+    aux = bg.prepare_loop(a)
+    m = bg.find_closests_in(a, b, aux=aux)
+    d = np.asarray(m.dists)[:, 0]
+    i = np.asarray(m.ids)[:, 0]
+    assert np.all(np.isinf(d[:30])) and np.all(i[:30] == -1)
+    assert np.all(np.isinf(d[60:70])) and np.all(i[60:70] == -1)
+    # near queries still matched (against valid reference rows)
+    f = np.isfinite(d[30:60])
+    assert f.sum() > 0
+    assert np.all(i[30:60][f] >= 0)
+
+
+def test_block_grid_moving_queries_within_bound():
+    """Moving queries by less than motionBound after assignment must still
+    give exact bounded-radius results (the fused-loop invariant)."""
+    rng = np.random.default_rng(11)
+    a, b = clouds(n=400, m=600, seed=9)
+    bg = Reg.create("BlockGridMatcher",
+                    {"maxDist": "0.4", "motionBound": "0.3"})
+    bg.init(b)
+    aux = bg.prepare_loop(a)  # assignment at the initial pose
+    # move every point by up to motionBound
+    shift = rng.normal(size=(a.num_points, 3))
+    shift = 0.29 * shift / np.linalg.norm(shift, axis=1, keepdims=True)
+    moved = pm.PointCloud.from_numpy(
+        (np.asarray(a.points) + shift.astype(np.float32))
+    ).replace(mask=a.mask)
+    m2 = bg.find_closests_in(moved, b, aux=aux)  # STALE assignment
+    kd = Reg.create("KDTreeMatcher", {"knn": "1", "maxDist": "0.4"})
+    kd.init(b)
+    m1 = kd.find_closests(moved)
+    d1 = np.asarray(m1.dists)[:, 0]
+    d2 = np.asarray(m2.dists)[:, 0]
+    assert np.array_equal(np.isfinite(d1), np.isfinite(d2))
+    f = np.isfinite(d1)
+    np.testing.assert_allclose(d2[f], d1[f], rtol=1e-4, atol=1e-6)
+
+
+def test_block_grid_through_engine(data3d, ref3d):
+    """Full fused registration with the block matcher (prepare_loop path)."""
+    from tests.conftest import validate_3d
+
+    icp = pm.ICP()
+    icp.set_default()
+    icp.matcher = Reg.create("BlockGridMatcher",
+                             {"maxDist": "2.0", "motionBound": "2.0"})
+    T = icp(data3d, ref3d, seed=0)
+    validate_3d(T)
