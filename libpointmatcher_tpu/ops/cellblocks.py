@@ -149,11 +149,13 @@ def assign_query_blocks(query: np.ndarray, mask: np.ndarray,
         qlin_sorted, return_index=True, return_counts=True
     )
     # bucket both block axes so repeated registrations of similar clouds
-    # reuse the same compiled fused loop (same ladder as cloud.bucket_size)
+    # reuse the same compiled fused loop (same ladder as cloud.bucket_size;
+    # Q uses a granule-8 ladder — its max-count jitters with the sampling
+    # seed, and any shape change recompiles the whole loop)
     from ..cloud import bucket_size
 
     Cq = int(bucket_size(len(uq)))
-    Q = _round8(int(counts.max()))
+    Q = int(bucket_size(int(counts.max()), granule=8))
     rows = np.full((Cq, Q), -1, np.int64)
     rank = np.arange(len(order)) - np.repeat(starts, counts)
     qslot = np.repeat(np.arange(len(uq)), counts)

@@ -191,3 +191,22 @@ def test_block_grid_through_engine(data3d, ref3d):
                              {"maxDist": "2.0", "motionBound": "2.0"})
     T = icp(data3d, ref3d, seed=0)
     validate_3d(T)
+
+
+def test_block_grid_sequence_serving(data3d, ref3d):
+    """ICPSequence + BlockGridMatcher: blocks built once at set_map, a fresh
+    query assignment per __call__ — and repeat calls must reuse the engine
+    jit cache (Cq bucketing keeps aux shapes stable)."""
+    from tests.conftest import validate_3d
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.matcher = Reg.create("BlockGridMatcher",
+                             {"maxDist": "2.0", "motionBound": "2.0"})
+    seq.set_map(ref3d)
+    T1 = seq(data3d, seed=0)
+    validate_3d(T1)
+    n_compiled = len(seq._jit_cache)
+    T2 = seq(data3d, seed=1)
+    validate_3d(T2)
+    assert len(seq._jit_cache) == n_compiled  # no recompile on repeat
