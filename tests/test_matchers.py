@@ -193,6 +193,27 @@ def test_block_grid_through_engine(data3d, ref3d):
     validate_3d(T)
 
 
+def test_block_grid_2d_exact():
+    """d=2 uses a 9-cell neighborhood; must agree with brute force."""
+    rng = np.random.default_rng(13)
+    a = pm.PointCloud.from_numpy(
+        rng.uniform(-3, 3, size=(300, 2)).astype(np.float32))
+    b = pm.PointCloud.from_numpy(
+        rng.uniform(-3, 3, size=(500, 2)).astype(np.float32))
+    kd = Reg.create("KDTreeMatcher", {"knn": "1", "maxDist": "0.3"})
+    bg = Reg.create("BlockGridMatcher",
+                    {"maxDist": "0.3", "motionBound": "0.0"})
+    kd.init(b)
+    bg.init(b)
+    m1 = kd.find_closests(a)
+    m2 = bg.find_closests_in(a, b, aux=bg.prepare_loop(a))
+    d1 = np.asarray(m1.dists)[:, 0]
+    d2 = np.asarray(m2.dists)[:, 0]
+    assert np.array_equal(np.isfinite(d1), np.isfinite(d2))
+    f = np.isfinite(d1)
+    np.testing.assert_allclose(d2[f], d1[f], rtol=1e-3, atol=1e-5)
+
+
 def test_block_grid_sequence_serving(data3d, ref3d):
     """ICPSequence + BlockGridMatcher: blocks built once at set_map, a fresh
     query assignment per __call__ — and repeat calls must reuse the engine
