@@ -23,6 +23,17 @@ import jax as _jax
 # the MXU and is unaffected.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Opt-in persistent compilation cache: first compiles of the fused ICP loop
+# are expensive (tens of seconds on TPU), and production serving restarts
+# should not re-pay them. Point PMTPU_CACHE_DIR at a writable directory to
+# reuse compiled programs across processes.
+import os as _os
+
+if _os.environ.get("PMTPU_CACHE_DIR"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["PMTPU_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .cloud import PointCloud  # noqa: F401
 from .errors import (  # noqa: F401
     ConfigurationError,

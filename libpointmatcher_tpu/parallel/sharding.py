@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..cloud import PointCloud
 from ..ops.knn import knn_brute_force
 
-__all__ = ["make_mesh", "shard_cloud", "replicate_cloud", "sharded_knn"]
+__all__ = ["make_mesh", "shard_cloud", "replicate_cloud", "sharded_knn",
+           "sharded_block_nn1"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "points") -> Mesh:
@@ -119,3 +120,42 @@ def sharded_knn(query, query_mask, ref, ref_mask, k: int, mesh: Mesh,
         return best_d, best_i
 
     return run(query, query_mask, ref, ref_mask)
+
+
+def sharded_block_nn1(points, qb_rows, qb_nb_slots, blocks, block_ids,
+                      max_dist: float, mesh: Mesh,
+                      axis_name: str = "points"):
+    """Bounded-radius 1-NN with the *query-block* axis sharded over the mesh
+    (the multi-chip form of ``ops.cellblocks.block_nn1``).
+
+    Each device sweeps its slice of query cells against the replicated
+    reference blocks. Query rows are owned by exactly one query block, so
+    each shard's [N] outputs are disjoint (+inf / -1 elsewhere) and the
+    merge is a single pmin/pmax pair over ICI — communication O(n_dev·N),
+    independent of reference size. Bit-identical to the single-device op.
+
+    ``qb_rows.shape[0]`` (the bucketed Cq axis) must divide the mesh size —
+    ``assign_query_blocks`` buckets Cq on the 256-granule ladder, which is
+    divisible by any power-of-two mesh up to 128."""
+    from ..ops.cellblocks import QueryBlocks, block_nn1
+
+    n_dev = mesh.shape[axis_name]
+    assert qb_rows.shape[0] % n_dev == 0, (
+        f"query-block axis {qb_rows.shape[0]} must divide mesh {n_dev}"
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(pts, rows, nbs, blk, bid):
+        ld, li = block_nn1(pts, QueryBlocks(rows, nbs), blk, bid, max_dist)
+        return (
+            jax.lax.pmin(ld, axis_name),
+            jax.lax.pmax(li, axis_name),
+        )
+
+    return run(points, qb_rows, qb_nb_slots, blocks, block_ids)

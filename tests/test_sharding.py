@@ -36,6 +36,32 @@ def test_sharded_knn_matches_single_device(mesh):
     np.testing.assert_allclose(gd2, gd1, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_block_nn1_matches_single_device(mesh):
+    """Query-block-sharded bounded 1-NN == the single-device block sweep."""
+    from libpointmatcher_tpu.ops.cellblocks import (
+        QueryBlocks, assign_query_blocks, block_nn1, build_ref_blocks,
+    )
+    from libpointmatcher_tpu.parallel import sharded_block_nn1
+
+    rng = np.random.default_rng(3)
+    q = rng.uniform(-4, 4, size=(700, 3)).astype(np.float32)
+    r = rng.uniform(-4, 4, size=(900, 3)).astype(np.float32)
+    rm = np.ones(900, bool)
+    rm[::9] = False
+    rb = build_ref_blocks(r, rm, cell_size=0.5)
+    qb = assign_query_blocks(q, np.ones(700, bool), rb)
+    assert qb.rows.shape[0] % 8 == 0  # Cq ladder divides the mesh
+
+    d1, i1 = block_nn1(q, qb, rb.blocks, rb.block_ids, 0.5)
+    d2, i2 = sharded_block_nn1(
+        q, qb.rows, qb.nb_slots, rb.blocks, rb.block_ids, 0.5, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d1), rtol=1e-6, atol=1e-7
+    )
+
+
 def test_shard_cloud_layout(mesh):
     c = pm.PointCloud.from_numpy(
         np.random.default_rng(1).normal(size=(1000, 3)).astype(np.float32)
