@@ -17,7 +17,7 @@ import numpy as np
 
 from ..cloud import PointCloud
 from ..errors import InvalidField
-from ..ops.knn import knn_brute_force
+from ..ops.dispatch import knn_search
 from ..registry import Param
 from .base import DataPointsFilter, DataPointsFilterRegistrar
 
@@ -83,7 +83,7 @@ class SurfaceNormalDataPointsFilter(DataPointsFilter):
 
     def filter(self, cloud, key=None):
         d = cloud.dim
-        dists, ids = knn_brute_force(
+        dists, ids = knn_search(
             cloud.points, cloud.mask, cloud.points, cloud.mask, k=self.knn
         )
         if self.maxDist != float("inf"):

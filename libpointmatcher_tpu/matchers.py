@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from .cloud import PointCloud
+from .ops.dispatch import knn_search
 from .ops.knn import knn_brute_force
 from .registry import Param, Parametrizable, Registrar
 
@@ -129,22 +130,9 @@ class KDTreeMatcher(Matcher):
     )
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
-        if self.knn == 1 and _use_pallas():
-            import os
-
-            if os.environ.get("PMTPU_KNN_IMPL", "vpu") == "mxu":
-                from .ops.knn_pallas import knn1_pallas_mxu as _knn1
-            else:
-                from .ops.knn_pallas import knn1_pallas as _knn1
-
-            d1, i1 = _knn1(
-                reading.points, reading.mask, ref.points, ref.mask
-            )
-            dists, ids = d1[:, None], i1[:, None]
-        else:
-            dists, ids = knn_brute_force(
-                reading.points, reading.mask, ref.points, ref.mask, k=self.knn
-            )
+        dists, ids = knn_search(
+            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+        )
         if self.maxDist != float("inf"):
             keep = dists <= jnp.float32(self.maxDist) ** 2
             dists = jnp.where(keep, dists, jnp.inf)
@@ -153,15 +141,9 @@ class KDTreeMatcher(Matcher):
 
 
 def _use_pallas() -> bool:
-    """Fused Pallas kernels only on real TPU backends (the axon PJRT plugin
-    reports itself as such); the XLA scan path serves CPU/GPU."""
-    import jax
+    from .ops.dispatch import use_pallas
 
-    try:
-        plat = jax.devices()[0].platform.lower()
-    except Exception:
-        return False
-    return "tpu" in plat or "axon" in plat
+    return use_pallas()
 
 
 @MatcherRegistrar.register
@@ -336,7 +318,7 @@ class KDTreeVarDistMatcher(Matcher):
     )
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
-        dists, ids = knn_brute_force(
+        dists, ids = knn_search(
             reading.points, reading.mask, ref.points, ref.mask, k=self.knn
         )
         radius = reading.get_descriptor(self.maxDistField)[:, 0]

@@ -1,0 +1,55 @@
+"""Backend dispatch for the exact k-NN sweep.
+
+One entry point — :func:`knn_search` — picks the fastest exact
+implementation for the current backend:
+
+- real TPU, k == 1  → fused Pallas 1-NN (``knn1_pallas``; or the opt-in MXU
+  variant via ``PMTPU_KNN_IMPL=mxu``),
+- real TPU, k ≤ KNNK_MAX → fused Pallas k-NN (``knnk_pallas``),
+- otherwise → the XLA tiled scan (``knn_brute_force``), which also serves
+  CPU/GPU and arbitrary k.
+
+All implementations are exact (reference: MatchersImpl.cpp:86-101 — the
+kd-tree with ``epsilon: 0``); results agree to the invalid conventions
+dist=+inf / id=-1 (PointMatcher.h:377-378).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from .knn import knn_brute_force
+from .knn_pallas import KNNK_MAX, knn1_pallas, knn1_pallas_mxu, knnk_pallas
+
+__all__ = ["knn_search", "use_pallas"]
+
+
+@functools.lru_cache(maxsize=1)
+def use_pallas() -> bool:
+    """Fused Pallas kernels only on real TPU backends (the axon PJRT plugin
+    reports itself as such); the XLA scan path serves CPU/GPU."""
+    import jax
+
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return "tpu" in plat or "axon" in plat
+
+
+def knn_search(query, query_mask, ref, ref_mask, k: int = 1):
+    """Exact kNN of ``query`` [N,d] into ``ref`` [M,d]; → (dists2, ids)
+    both [N,k], squared distances ascending, (+inf, -1) invalid."""
+    if use_pallas():
+        if k == 1:
+            impl = (
+                knn1_pallas_mxu
+                if os.environ.get("PMTPU_KNN_IMPL", "vpu") == "mxu"
+                else knn1_pallas
+            )
+            d1, i1 = impl(query, query_mask, ref, ref_mask)
+            return d1[:, None], i1[:, None]
+        if k <= KNNK_MAX:
+            return knnk_pallas(query, query_mask, ref, ref_mask, k)
+    return knn_brute_force(query, query_mask, ref, ref_mask, k=k)

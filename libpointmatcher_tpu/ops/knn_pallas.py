@@ -19,9 +19,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["knn1_pallas"]
+__all__ = ["knn1_pallas", "knnk_pallas", "KNNK_MAX"]
 
 _DPAD = 8  # coordinate dim padded to the f32 sublane width
+
+#: largest k served by the fused k-NN kernel (beyond this the VPU extraction
+#: passes outweigh the saved HBM traffic; the XLA scan takes over)
+KNNK_MAX = 16
 
 
 def _nn1_kernel(q_ref, rt_ref, rpen_ref, out_d_ref, out_i_ref, *, dim):
@@ -85,6 +89,116 @@ def _nn1_mxu_kernel(q_ref, rt_ref, q2_ref, r2pen_ref, out_d_ref, out_i_ref):
         take = td < prev_d
         out_d_ref[:, 0] = jnp.where(take, td, prev_d)
         out_i_ref[:, 0] = jnp.where(take, ti, prev_i)
+
+
+def _nnk_kernel(q_ref, rt_ref, rpen_ref, out_d_ref, out_i_ref, *, dim, k):
+    """Fused top-k: the [TQ, TM] distance block never leaves VMEM.
+
+    Tile candidates are extracted by k passes of (row-min, argmin,
+    mask-out-column) — exact and fully vectorized — then merged with the
+    running sorted top-k (held in the revisited output block) by k more
+    extraction passes over the concatenated 2k-column candidate set."""
+    j = pl.program_id(1)
+    tile_q = q_ref.shape[0]
+    tile_m = rt_ref.shape[1]
+
+    d2 = rpen_ref[:]  # [1, TM] +inf penalty for masked reference rows
+    for c in range(dim):
+        diff = q_ref[:, c][:, None] - rt_ref[c, :][None, :]
+        d2 = d2 + diff * diff
+    d2 = jnp.broadcast_to(d2, (tile_q, tile_m))
+
+    col = lax.broadcasted_iota(jnp.int32, (tile_q, tile_m), 1)
+    tile_d = []
+    tile_i = []
+    for _ in range(k):
+        td = jnp.min(d2, axis=1)  # [TQ]
+        ti = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        tile_d.append(td)
+        tile_i.append(ti + j * tile_m)
+        d2 = jnp.where(col == ti[:, None], jnp.inf, d2)
+    cand_d = jnp.stack(tile_d, axis=1)  # [TQ, k], ascending
+    cand_i = jnp.stack(tile_i, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[:, :] = cand_d
+        out_i_ref[:, :] = cand_i
+
+    @pl.when(j > 0)
+    def _():
+        md = jnp.concatenate([out_d_ref[:, :], cand_d], axis=1)  # [TQ, 2k]
+        mi = jnp.concatenate([out_i_ref[:, :], cand_i], axis=1)
+        col2 = lax.broadcasted_iota(jnp.int32, (tile_q, 2 * k), 1)
+        new_d = []
+        new_i = []
+        for _ in range(k):
+            td = jnp.min(md, axis=1)
+            tpos = jnp.argmin(md, axis=1).astype(jnp.int32)
+            hit = col2 == tpos[:, None]
+            new_d.append(td)
+            # one-hot select-sum instead of a per-row gather (no dynamic
+            # lane gathers in the kernel)
+            new_i.append(jnp.sum(jnp.where(hit, mi, 0), axis=1))
+            md = jnp.where(hit, jnp.inf, md)
+        out_d_ref[:, :] = jnp.stack(new_d, axis=1)
+        out_i_ref[:, :] = jnp.stack(new_i, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_m"))
+def knnk_pallas(query, query_mask, ref, ref_mask, k: int,
+                tile_q: int = 256, tile_m: int = 2048):
+    """Exact k-NN: ``(dists2 [N,k], ids [N,k])`` ascending per row, with
+    (+inf, -1) for invalid queries / missing neighbors. Fused equivalent of
+    ``knn_brute_force`` for 2 ≤ k ≤ KNNK_MAX (the registration prep path:
+    SurfaceNormal neighborhoods, knn>1 matcher configs)."""
+    assert 1 <= k <= KNNK_MAX, k
+    n, d = query.shape
+    m = ref.shape[0]
+    n_pad = ((n + tile_q - 1) // tile_q) * tile_q
+    m_pad = ((m + tile_m - 1) // tile_m) * tile_m
+
+    qp = jnp.zeros((n_pad, _DPAD), jnp.float32).at[:n, :d].set(query)
+    rt = jnp.zeros((_DPAD, m_pad), jnp.float32).at[:d, :m].set(ref.T)
+    rmask_p = jnp.zeros((m_pad,), bool).at[:m].set(ref_mask)
+    rpen = jnp.where(rmask_p, 0.0, jnp.inf)[None, :]  # [1, m_pad]
+
+    grid = (n_pad // tile_q, m_pad // tile_m)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_nnk_kernel, dim=d, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, _DPAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DPAD, tile_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * d + 6 * k) * n_pad * m_pad,
+            bytes_accessed=4 * (n_pad + m_pad) * _DPAD
+            + 8 * n_pad * k * (m_pad // tile_m),
+            transcendentals=0,
+        ),
+    )(qp, rt, rpen)
+
+    best_d = out_d[:n]
+    best_i = out_i[:n]
+    finite = jnp.isfinite(best_d)
+    best_d = jnp.where(query_mask[:, None], best_d, jnp.inf)
+    best_i = jnp.where(jnp.logical_and(query_mask[:, None], finite), best_i, -1)
+    return best_d, best_i
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_m"))

@@ -65,3 +65,29 @@ def test_kernel_nonaligned_sizes():
     d1, i1 = kp.knn1_pallas(q, qm, r, rm, tile_q=256, tile_m=512)
     d2, i2 = knn_brute_force(q, qm, r, rm, k=1)
     assert np.array_equal(np.asarray(i1), np.asarray(i2)[:, 0])
+
+
+@pytest.mark.parametrize("k", [2, 5, 10, 16])
+def test_knnk_kernel_matches_scan_path(k):
+    q, qm, r, rm = _data(n=310, m=1100, seed=3)
+    qm[5:9] = False
+    rm[::5] = False
+    d1, i1 = kp.knnk_pallas(q, qm, r, rm, k, tile_q=128, tile_m=512)
+    d2, i2 = knn_brute_force(q, qm, r, rm, k=k)
+    d1, i1, d2, i2 = map(np.asarray, (d1, i1, d2, i2))
+    # same neighbor sets; order ties can differ on equal distances
+    assert np.array_equal(np.sort(i1, axis=1), np.sort(i2, axis=1))
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-5)
+    # ascending per row (valid rows; masked rows are all-inf → nan diffs)
+    valid_rows = np.isfinite(d1[:, 0])
+    assert np.all(np.diff(d1[valid_rows], axis=1) >= 0)
+    assert np.all(i1[5:9] == -1)
+
+
+def test_knnk_fewer_refs_than_k():
+    q, qm, r, rm = _data(n=70, m=4, seed=4)
+    d1, i1 = kp.knnk_pallas(q, qm, r, rm, 8, tile_q=64, tile_m=128)
+    d1, i1 = np.asarray(d1), np.asarray(i1)
+    assert np.all(np.isfinite(d1[:, :4]))
+    assert np.all(np.isinf(d1[:, 4:]))
+    assert np.all(i1[:, 4:] == -1)
