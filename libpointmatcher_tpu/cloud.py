@@ -254,7 +254,30 @@ class PointCloud:
         return PointCloud(points, mask, descs, times)
 
     # --------------------------------------------------------- host repacking
-    def compact(self, granule: int = 256, min_size: Optional[int] = None) -> "PointCloud":
+    def compact_traced(self, cap: int) -> "PointCloud":
+        """Jit-safe compaction to a STATIC row capacity: valid rows are packed
+        to the front via cumsum-rank scatter (no sort, no host sync). Rows
+        beyond ``cap`` survivors are dropped — callers pick ``cap`` with
+        enough headroom that overflow never happens in practice (the fused
+        serving path does; see parallel/batch.py)."""
+        rank = jnp.cumsum(self.mask) - 1  # rank among valid rows
+        keep = jnp.logical_and(self.mask, rank < cap)
+        dest = jnp.where(keep, rank, cap)  # overflow/invalid → scratch row
+
+        def scat(x):
+            out = jnp.zeros((cap + 1,) + x.shape[1:], x.dtype)
+            return out.at[dest].set(x)[:cap]
+
+        mask = jnp.zeros((cap + 1,), bool).at[dest].set(keep)[:cap]
+        return PointCloud(
+            scat(self.points),
+            mask,
+            {k: scat(v) for k, v in self.descriptors.items()},
+            {k: scat(v) for k, v in self.times.items()},
+        )
+
+    def compact(self, granule: int = 256, min_size: Optional[int] = None,
+                ladder: bool = True) -> "PointCloud":
         """Pack valid rows to the front, pad/trim to a bucketed size.
 
         Run between filters outside the jitted hot loop, so downstream compute
@@ -264,7 +287,13 @@ class PointCloud:
         permutation and gathers stay on device; only the valid count (one
         scalar) is pulled to the host to pick the bucket."""
         n = self.count_host()
-        cap = bucket_size(max(n, 1), granule)
+        if ladder:
+            cap = bucket_size(max(n, 1), granule)
+        else:
+            # exact fine bucket — for long-lived clouds (ICPSequence maps)
+            # where one compile per shape is fine and padding is paid in the
+            # O(N·M) sweep every iteration
+            cap = granule * math.ceil(max(n, 1) / granule)
         if min_size is not None:
             cap = max(cap, min_size)
         out = _compact_on_device(self, cap, n)

@@ -22,13 +22,25 @@ from ..errors import ConvergenceError
 from ..loggers import log_info
 from ..registry import Parametrizable, Registrar
 
-__all__ = ["DataPointsFilter", "DataPointsFilterRegistrar", "apply_filter_chain"]
+__all__ = [
+    "DataPointsFilter",
+    "DataPointsFilterRegistrar",
+    "apply_filter_chain",
+    "apply_filter_chain_traced",
+    "chain_is_traceable",
+]
 
 DataPointsFilterRegistrar = Registrar("DataPointsFilter")
 
 
 class DataPointsFilter(Parametrizable):
     """Interface (reference: PointMatcher.h:437-450)."""
+
+    #: True iff :meth:`filter` is a pure jnp function of (cloud, key) — no
+    #: host syncs, no Python-side state — and may therefore run *inside* a
+    #: jitted/vmapped program (the fused batch-serving path). Filters doing
+    #: host work (count-dependent branches, schedules) keep the default.
+    TRACEABLE = False
 
     def init(self) -> None:
         """Reset per-registration state (reference: DataPointsFilter::init;
@@ -61,4 +73,24 @@ def apply_filter_chain(
             raise ConvergenceError(
                 f"no points remaining after filter {type(f).__name__}"
             )
+    return cloud
+
+
+def chain_is_traceable(filters: Sequence[DataPointsFilter]) -> bool:
+    return all(getattr(f, "TRACEABLE", False) for f in filters)
+
+
+def apply_filter_chain_traced(
+    filters: Sequence[DataPointsFilter],
+    cloud: PointCloud,
+    key: Optional[jax.Array] = None,
+) -> PointCloud:
+    """Jit-safe filter chain: same sequence and per-filter key derivation as
+    :func:`apply_filter_chain`, minus the host-side parts (compaction,
+    point-count logging, the empty-cloud ``ConvergenceError`` — an emptied
+    cloud surfaces as the engine's no-inliers code instead). Only valid when
+    ``chain_is_traceable(filters)``."""
+    for i, f in enumerate(filters):
+        sub = jax.random.fold_in(key, i) if key is not None else None
+        cloud = f.filter(cloud, key=sub)
     return cloud

@@ -419,3 +419,27 @@ class SimpleSensorNoiseDataPointsFilter(DataPointsFilter):
             min_radius, beam_angle, beam_const = self._LASER[self.sensorType]
             noise = jnp.maximum(min_radius, beam_angle * r + beam_const)
         return cloud.with_descriptor("simpleSensorNoise", self.gain * noise)
+
+
+# Pure jnp functions of (cloud, key) — safe to run inside jitted programs
+# (the fused batch-serving path). MaxPointCount (host count branch) and
+# FixStepSampling (Python-side schedule state) stay host-only.
+for _cls in (
+    IdentityDataPointsFilter,
+    RemoveNaNDataPointsFilter,
+    MaxDistDataPointsFilter,
+    MinDistDataPointsFilter,
+    DistanceLimitDataPointsFilter,
+    BoundingBoxDataPointsFilter,
+    MaxQuantileOnAxisDataPointsFilter,
+    MaxDensityDataPointsFilter,
+    RandomSamplingDataPointsFilter,
+    ShadowDataPointsFilter,
+    CutAtDescriptorThresholdDataPointsFilter,
+    ObservationDirectionDataPointsFilter,
+    OrientNormalsDataPointsFilter,
+    IncidenceAngleDataPointsFilter,
+    SimpleSensorNoiseDataPointsFilter,
+):
+    _cls.TRACEABLE = True
+del _cls

@@ -650,6 +650,10 @@ class ICPSequence(ICP):
         cloud = apply_filter_chain(
             self.reference_filters, cloud, jax.random.fold_in(key, 1)
         )
+        # fine re-bucket: the map is long-lived (one compile per map shape is
+        # fine) and every loop iteration pays O(N·M_alloc) in the sweep — the
+        # coarse 1-1.5-2 ladder wastes up to 33% of that
+        cloud = cloud.compact(granule=512, ladder=False)
         cloud, self._T_refIn_refMean = _center_cloud(cloud)
         self._map = cloud
         self.matcher.init(cloud)

@@ -19,11 +19,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cloud import PointCloud, bucket_size
-from ..filters.base import apply_filter_chain
+from ..filters.base import (
+    apply_filter_chain,
+    apply_filter_chain_traced,
+    chain_is_traceable,
+)
 from ..icp import ICP
+from ..matchers import Matcher
 from ..utils import se3
 
-__all__ = ["register_batch"]
+__all__ = ["register_batch", "register_batch_to_map"]
 
 
 def _stack_clouds(clouds: Sequence[PointCloud], cap: int) -> PointCloud:
@@ -37,6 +42,21 @@ def _stack_clouds(clouds: Sequence[PointCloud], cap: int) -> PointCloud:
     return jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *padded
     )
+
+
+def _stack_clouds_padded(clouds: Sequence[PointCloud]) -> PointCloud:
+    """Pad to a common bucketed row count and stack — zero host syncs
+    (row counts come from static shapes; padded rows carry mask=False)."""
+    cap = bucket_size(max(c.num_points for c in clouds))
+
+    def pad(x):
+        n = x.shape[0]
+        if n == cap:
+            return x
+        return jnp.pad(x, [(0, cap - n)] + [(0, 0)] * (x.ndim - 1))
+
+    padded = [jax.tree_util.tree_map(pad, c) for c in clouds]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *padded)
 
 
 def register_batch(
@@ -132,27 +152,22 @@ def register_batch(
 
 def _finish_batch(icp, b, T_iter, iters, codes, stats, T_refIn_refMean,
                   T_refMean_dataIn):
-
-    T_out = np.stack(
-        [
-            np.asarray(
-                jnp.asarray(T_refIn_refMean[i])
-                @ T_iter[i]
-                @ T_refMean_dataIn[i]
-            )
-            for i in range(b)
-        ]
+    # compose all frames on device, then ONE synchronized pull
+    Trm_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_refIn_refMean])
+    Trd_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_refMean_dataIn])
+    T_out = jnp.einsum("bij,bjk,bkl->bil", Trm_b, T_iter, Trd_b)
+    T_out, iters, codes, pur, wpur, res = jax.device_get(
+        (T_out, iters, codes, stats.point_used_ratio,
+         stats.weighted_point_used_ratio, stats.residual)
     )
     info = {
         "iterations": np.asarray(iters),
         "codes": np.asarray(codes),
-        "point_used_ratio": np.asarray(stats.point_used_ratio),
-        "weighted_point_used_ratio": np.asarray(
-            stats.weighted_point_used_ratio
-        ),
-        "residual": np.asarray(stats.residual),
+        "point_used_ratio": np.asarray(pur),
+        "weighted_point_used_ratio": np.asarray(wpur),
+        "residual": np.asarray(res),
     }
-    return T_out, info
+    return np.asarray(T_out), info
 
 
 def register_batch_to_map(
@@ -160,6 +175,7 @@ def register_batch_to_map(
     readings: Sequence[PointCloud],
     T_inits: Optional[Sequence] = None,
     seed: int = 0,
+    compact_rows="auto",
 ) -> Tuple[np.ndarray, dict]:
     """Batched scan-to-map serving: register many readings against the
     persistent map of an ``ICPSequence`` at once.
@@ -167,18 +183,145 @@ def register_batch_to_map(
     The production shape of the reference's odometry/localization loop
     (reference: ICP.cpp:455-612): the map is filtered, centered and
     acceleration-built exactly once (``seq.set_map``); here each incoming
-    scan batch runs one vmapped loop against the broadcast map."""
-    from ..icp import _apply_transform
+    scan batch runs one vmapped loop against the broadcast map.
 
+    When every reading filter is jit-traceable (the default chain is), the
+    ENTIRE serving call — per-scan filter chains, pre-transforms, the
+    fixed-point loops and the final frame compositions — is one device
+    program with a single host readback; measured on chip the host-side
+    per-batch overhead (per-scan compaction syncs, per-pair device_gets,
+    ~25 ms/round-trip through the transfer path) was ~70% of serving time.
+    Host-stateful filters fall back to the per-scan prep path. On the fused
+    path an emptied scan reports the engine's no-inliers code in
+    ``info['codes']`` instead of raising ``ConvergenceError``.
+
+    ``compact_rows`` packs each filtered scan to a static row capacity
+    inside the program (cumsum-rank scatter), so the per-iteration sweep
+    pays only for surviving points instead of the full input rows. "auto"
+    probes the chain once per (shape, config) to size the cap with ~8%
+    headroom; pass an int to pin it, or None to disable. Scans whose
+    survivor count exceeds the cap have points beyond it dropped — a benign
+    extra subsample for sampling chains, but pin a larger cap if your
+    filter chain's keep-rate varies wildly across scans."""
     assert seq.has_map(), "set_map first"
     reference = seq.get_prefiltered_internal_map()
     b = len(readings)
     dim = readings[0].dim
+    Trm = jnp.asarray(seq._T_refIn_refMean)
+    if T_inits is None:
+        T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
+
+    fused = (
+        chain_is_traceable(seq.reading_filters)
+        and not seq.reading_step_filters
+        and not seq.inspector.needs_iteration_data
+        and type(seq.matcher).prepare_loop is Matcher.prepare_loop
+    )
+    if not fused:
+        return _register_batch_to_map_host(seq, readings, T_inits, seed)
+
+    batch_reading = _stack_clouds_padded(readings)
+    T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
+
+    cap = None
+    if compact_rows == "auto":
+        cap_key = (
+            "serve_cap", batch_reading.num_points,
+            seq._config_fingerprint(),
+            tuple(
+                (type(f).__name__, tuple(sorted(f.parameters.items())))
+                for f in seq.reading_filters
+            ),
+        )
+        cap = seq._jit_cache.get(cap_key)
+        if cap is None:
+            # probe the chain once per (shape, config): one host sync
+            probe = apply_filter_chain_traced(
+                tuple(seq.reading_filters), readings[0],
+                jax.random.fold_in(jax.random.PRNGKey(seed), 0),
+            )
+            n = int(np.asarray(jax.device_get(jnp.sum(probe.mask))))
+            cap = min(
+                batch_reading.num_points,
+                512 * -(-int(n * 1.08 + 512) // 512),
+            )
+            seq._jit_cache[cap_key] = cap
+    elif compact_rows:
+        cap = min(int(compact_rows), batch_reading.num_points)
+    if cap is not None and cap >= batch_reading.num_points:
+        cap = None  # nothing to gain
+
+    cache_key = (
+        "serve_fused", b, batch_reading.num_points, reference.num_points,
+        cap, dim,
+        batch_reading.descriptor_labels(),
+        reference.descriptor_labels(),
+        seq._config_fingerprint(),
+        tuple(
+            (type(f).__name__, tuple(sorted(f.parameters.items())))
+            for f in seq.reading_filters
+        ),
+    )
+    runner = seq._jit_cache.get(cache_key)
+    if runner is None:
+        from ..icp import _apply_transform
+
+        reading_filters = tuple(seq.reading_filters)
+        transformations = tuple(seq.transformations)
+        run_loop = seq.make_loop_runner()
+
+        def serve(batch_reading, T_inits_b, Trm, reference, seed):
+            key = jax.random.PRNGKey(seed)
+            Trm_inv = se3.inverse(Trm)
+
+            def one(reading, T_init, i):
+                kr = jax.random.fold_in(key, i)
+                reading = apply_filter_chain_traced(
+                    reading_filters, reading, kr
+                )
+                if cap is not None:
+                    reading = reading.compact_traced(cap)
+                T_rmd = Trm_inv @ T_init
+                reading = _apply_transform(transformations, reading, T_rmd)
+                T_iter, iters, code, stats = run_loop(reading, reference)
+                T_out = Trm @ T_iter @ T_rmd
+                return T_out, iters, code, stats
+
+            return jax.vmap(one, in_axes=(0, 0, 0))(
+                batch_reading, T_inits_b, jnp.arange(b)
+            )
+
+        runner = jax.jit(serve, static_argnames=())
+        seq._jit_cache[cache_key] = runner
+
+    T_out, iters, codes, stats = runner(
+        batch_reading, T_inits_b, Trm, reference, jnp.int32(seed)
+    )
+    # one synchronized pull for everything the host needs
+    T_out, iters, codes, pur, wpur, res = jax.device_get(
+        (T_out, iters, codes, stats.point_used_ratio,
+         stats.weighted_point_used_ratio, stats.residual)
+    )
+    info = {
+        "iterations": np.asarray(iters),
+        "codes": np.asarray(codes),
+        "point_used_ratio": np.asarray(pur),
+        "weighted_point_used_ratio": np.asarray(wpur),
+        "residual": np.asarray(res),
+    }
+    return np.asarray(T_out), info
+
+
+def _register_batch_to_map_host(seq, readings, T_inits, seed):
+    """Per-scan host prep path (host-stateful filters, iteration-dumping
+    inspectors, matchers with per-registration loop state)."""
+    from ..icp import _apply_transform
+
+    reference = seq.get_prefiltered_internal_map()
+    b = len(readings)
     key = jax.random.PRNGKey(seed)
     Trm = seq._T_refIn_refMean
     Trm_inv = se3.inverse(jnp.asarray(Trm))
-    if T_inits is None:
-        T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
 
     prepped = []
     T_refMean_dataIn = []
@@ -193,7 +336,7 @@ def register_batch_to_map(
     batch_reading = _stack_clouds(prepped, cap_r)
 
     cache_key = (
-        "batch_map", b, cap_r, reference.num_points, dim,
+        "batch_map", b, cap_r, reference.num_points, readings[0].dim,
         batch_reading.descriptor_labels(),
         reference.descriptor_labels(),
         seq._config_fingerprint(),

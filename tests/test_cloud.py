@@ -126,3 +126,33 @@ def test_rank_select_adversarial():
         for q in (0.0, 0.5, 0.85, 1.0):
             idx = min(int(np.floor(len(finite) * q)), len(finite) - 1)
             assert float(masked_quantile(jnp.asarray(v), q)) == finite[idx]
+
+
+def test_compact_traced_matches_compact():
+    """Jit-safe scatter compaction packs the same rows in the same order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import libpointmatcher_tpu as pm
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    mask = rng.random(100) < 0.6
+    c = pm.PointCloud(pts, mask, {"normals": pts * 2.0})
+
+    out = jax.jit(lambda cl: cl.compact_traced(80))(c)
+    valid = pts[mask]
+    got = np.asarray(out.points)[np.asarray(out.mask)]
+    np.testing.assert_array_equal(got, valid)
+    np.testing.assert_array_equal(
+        np.asarray(out.descriptors["normals"])[np.asarray(out.mask)],
+        valid * 2.0,
+    )
+    assert out.num_points == 80
+
+    # overflow: cap below the survivor count keeps the first cap survivors
+    out2 = c.compact_traced(10)
+    np.testing.assert_array_equal(
+        np.asarray(out2.points)[np.asarray(out2.mask)], valid[:10]
+    )

@@ -189,3 +189,49 @@ def test_register_batch_to_map(data3d, ref3d):
     validate_3d(T_b[0])
     validate_3d(T_b[1])
     assert np.all(info["codes"] <= 1)
+
+def test_register_batch_to_map_fused_matches_host(data3d, ref3d):
+    """The single-program serving path (traceable filter chain fused into
+    the device program) agrees with the per-scan host-prep path."""
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+    from libpointmatcher_tpu.parallel.batch import _register_batch_to_map_host
+    import numpy as np
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(ref3d)
+    assert all(f.TRACEABLE for f in seq.reading_filters)
+
+    T_init = np.eye(4, dtype=np.float32)
+    T_init[:3, 3] = [0.01, -0.02, 0.03]
+    T_f, info_f = register_batch_to_map(
+        seq, [data3d, data3d], T_inits=[np.eye(4, dtype=np.float32), T_init], seed=7
+    )
+    T_h, info_h = _register_batch_to_map_host(
+        seq, [data3d, data3d], [np.eye(4, dtype=np.float32), T_init], seed=7
+    )
+    # same keys, same chain; host path compacts/reorders points so float
+    # reductions differ in the last ulps and iteration counts may slip by one
+    np.testing.assert_allclose(T_f, T_h, atol=2e-3)
+    assert np.all(np.abs(info_f["iterations"] - info_h["iterations"]) <= 2)
+
+
+def test_register_batch_to_map_host_fallback(data3d, ref3d):
+    """Host-stateful filters (FixStepSampling) must take the host path."""
+    from libpointmatcher_tpu.filters.basic import (
+        FixStepSamplingDataPointsFilter,
+    )
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+    from tests.conftest import validate_3d
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.reading_filters = [
+        FixStepSamplingDataPointsFilter({"startStep": "2", "endStep": "2"})
+    ]
+    seq.set_map(ref3d)
+    assert not all(
+        getattr(f, "TRACEABLE", False) for f in seq.reading_filters
+    )
+    T_b, info = register_batch_to_map(seq, [data3d], seed=3)
+    validate_3d(T_b[0])

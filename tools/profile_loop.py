@@ -27,7 +27,7 @@ from libpointmatcher_tpu import io  # noqa: E402
 from libpointmatcher_tpu.checkers import CounterTransformationChecker  # noqa: E402
 from libpointmatcher_tpu.parallel import register_batch_to_map  # noqa: E402
 
-ITERS = 20
+ITERS = int(__import__("os").environ.get("PMTPU_PROFILE_ITERS", "20"))
 BATCH = 8
 BASE = "/root/reference/examples/data"
 
