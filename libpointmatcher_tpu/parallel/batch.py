@@ -264,34 +264,7 @@ def register_batch_to_map(
     )
     runner = seq._jit_cache.get(cache_key)
     if runner is None:
-        from ..icp import _apply_transform
-
-        reading_filters = tuple(seq.reading_filters)
-        transformations = tuple(seq.transformations)
-        run_loop = seq.make_loop_runner()
-
-        def serve(batch_reading, T_inits_b, Trm, reference, seed):
-            key = jax.random.PRNGKey(seed)
-            Trm_inv = se3.inverse(Trm)
-
-            def one(reading, T_init, i):
-                kr = jax.random.fold_in(key, i)
-                reading = apply_filter_chain_traced(
-                    reading_filters, reading, kr
-                )
-                if cap is not None:
-                    reading = reading.compact_traced(cap)
-                T_rmd = Trm_inv @ T_init
-                reading = _apply_transform(transformations, reading, T_rmd)
-                T_iter, iters, code, stats = run_loop(reading, reference)
-                T_out = Trm @ T_iter @ T_rmd
-                return T_out, iters, code, stats
-
-            return jax.vmap(one, in_axes=(0, 0, 0))(
-                batch_reading, T_inits_b, jnp.arange(b)
-            )
-
-        runner = jax.jit(serve, static_argnames=())
+        runner = _build_serve_runner(seq, b, cap)
         seq._jit_cache[cache_key] = runner
 
     T_out, iters, codes, stats = runner(
@@ -310,6 +283,45 @@ def register_batch_to_map(
         "residual": np.asarray(res),
     }
     return np.asarray(T_out), info
+
+
+def _build_serve_runner(seq, b: int, cap):
+    """One-program fused serving runner (see register_batch_to_map)."""
+    from ..icp import _apply_transform
+
+    reading_filters = tuple(seq.reading_filters)
+    transformations = tuple(seq.transformations)
+    run_loop = seq.make_loop_runner()
+
+    def serve(batch_reading, T_inits_b, Trm, reference, seed):
+        key = jax.random.PRNGKey(seed)
+        Trm_inv = se3.inverse(Trm)
+
+        def prep(reading, T_init, i):
+            kr = jax.random.fold_in(key, i)
+            reading = apply_filter_chain_traced(
+                reading_filters, reading, kr
+            )
+            if cap is not None:
+                reading = reading.compact_traced(cap)
+            T_rmd = Trm_inv @ T_init
+            return _apply_transform(transformations, reading, T_rmd), T_rmd
+
+        # two sequential vmaps inside one jit — NOT one vmapped closure
+        # doing prep + loop together: nesting the while_loop inside the
+        # same per-pair closure as the prep measured +50% per iteration
+        # (XLA pulls prep work into the loop body); the split form keeps
+        # the loop body minimal.
+        prepped, T_rmd_b = jax.vmap(prep, in_axes=(0, 0, 0))(
+            batch_reading, T_inits_b, jnp.arange(b)
+        )
+        T_iter, iters, code, stats = jax.vmap(
+            run_loop, in_axes=(0, None)
+        )(prepped, reference)
+        T_out = jnp.einsum("ij,bjk,bkl->bil", Trm, T_iter, T_rmd_b)
+        return T_out, iters, code, stats
+
+    return jax.jit(serve, static_argnames=())
 
 
 def _register_batch_to_map_host(seq, readings, T_inits, seed):
