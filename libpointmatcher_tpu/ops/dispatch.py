@@ -25,10 +25,8 @@ from .knn_pallas import KNNK_MAX, knn1_pallas, knn1_pallas_mxu, knnk_pallas
 __all__ = ["knn_search", "use_pallas"]
 
 
-@functools.lru_cache(maxsize=1)
-def use_pallas() -> bool:
-    """Fused Pallas kernels only on real TPU backends (the axon PJRT plugin
-    reports itself as such); the XLA scan path serves CPU/GPU."""
+@functools.lru_cache(maxsize=8)
+def _use_pallas_for(platforms_cfg) -> bool:
     import jax
 
     try:
@@ -36,6 +34,18 @@ def use_pallas() -> bool:
     except Exception:
         return False
     return "tpu" in plat or "axon" in plat
+
+
+def use_pallas() -> bool:
+    """Fused Pallas kernels only on real TPU backends (the axon PJRT plugin
+    reports itself as such); the XLA scan path serves CPU/GPU.
+
+    Keyed on ``jax.config.jax_platforms`` so the repo's documented
+    CPU-forcing pattern (``jax.config.update('jax_platforms', 'cpu')``)
+    invalidates a decision cached before the flip."""
+    import jax
+
+    return _use_pallas_for(jax.config.jax_platforms)
 
 
 def knn_search(query, query_mask, ref, ref_mask, k: int = 1):

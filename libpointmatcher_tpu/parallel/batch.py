@@ -198,11 +198,14 @@ def register_batch_to_map(
     ``compact_rows`` packs each filtered scan to a static row capacity
     inside the program (cumsum-rank scatter), so the per-iteration sweep
     pays only for surviving points instead of the full input rows. "auto"
-    probes the chain once per (shape, config) to size the cap with ~8%
-    headroom; pass an int to pin it, or None to disable. Scans whose
-    survivor count exceeds the cap have points beyond it dropped — a benign
-    extra subsample for sampling chains, but pin a larger cap if your
-    filter chain's keep-rate varies wildly across scans."""
+    probes the chain once per (shape, config), scaling the observed
+    keep-rate to the batch's full padded capacity (the worst case: a later
+    scan that is denser than the probe) plus ~8% headroom; pass an int to
+    pin it, or None to disable. Truncation is never silent: each pair's
+    pre-compaction survivor count is checked against the cap inside the
+    program and surfaced as ``info['compact_overflow']`` (True where points
+    beyond the cap were dropped — a contiguous scan-order cut, so treat it
+    as a signal to pin a larger cap, not as a benign subsample)."""
     assert seq.has_map(), "set_map first"
     reference = seq.get_prefiltered_internal_map()
     b = len(readings)
@@ -222,11 +225,15 @@ def register_batch_to_map(
 
     batch_reading = _stack_clouds_padded(readings)
     T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
+    # per-pair padded row count: the stacked cloud is [B, rows, d], so
+    # ``num_points`` would be B — use the row axis (round-1 bug: the cap
+    # logic compared against B and silently disabled compaction)
+    rows = batch_reading.points.shape[-2]
 
     cap = None
     if compact_rows == "auto":
         cap_key = (
-            "serve_cap", batch_reading.num_points,
+            "serve_cap", rows,
             seq._config_fingerprint(),
             tuple(
                 (type(f).__name__, tuple(sorted(f.parameters.items())))
@@ -235,24 +242,39 @@ def register_batch_to_map(
         )
         cap = seq._jit_cache.get(cap_key)
         if cap is None:
-            # probe the chain once per (shape, config): one host sync
+            # probe the chain once per (shape, config): one host sync.
+            # The cap is sized from the probe's KEEP-RATE applied to the
+            # batch's full padded capacity — not the probe scan's own
+            # survivor count — so a later, denser scan hitting the same
+            # cache key still fits (advisor finding, round 1).
             probe = apply_filter_chain_traced(
                 tuple(seq.reading_filters), readings[0],
                 jax.random.fold_in(jax.random.PRNGKey(seed), 0),
             )
-            n = int(np.asarray(jax.device_get(jnp.sum(probe.mask))))
+            n, n_in = (
+                int(v)
+                for v in np.asarray(
+                    jax.device_get(
+                        jnp.stack(
+                            [jnp.sum(probe.mask), readings[0].count()]
+                        )
+                    )
+                )
+            )
+            keep_rate = n / max(n_in, 1)
+            worst = keep_rate * rows
             cap = min(
-                batch_reading.num_points,
-                512 * -(-int(n * 1.08 + 512) // 512),
+                rows,
+                512 * -(-int(worst * 1.08 + 512) // 512),
             )
             seq._jit_cache[cap_key] = cap
     elif compact_rows:
-        cap = min(int(compact_rows), batch_reading.num_points)
-    if cap is not None and cap >= batch_reading.num_points:
+        cap = min(int(compact_rows), rows)
+    if cap is not None and cap >= rows:
         cap = None  # nothing to gain
 
     cache_key = (
-        "serve_fused", b, batch_reading.num_points, reference.num_points,
+        "serve_fused", b, rows, reference.num_points,
         cap, dim,
         batch_reading.descriptor_labels(),
         reference.descriptor_labels(),
@@ -267,13 +289,13 @@ def register_batch_to_map(
         runner = _build_serve_runner(seq, b, cap)
         seq._jit_cache[cache_key] = runner
 
-    T_out, iters, codes, stats = runner(
+    T_out, iters, codes, stats, overflow = runner(
         batch_reading, T_inits_b, Trm, reference, jnp.int32(seed)
     )
     # one synchronized pull for everything the host needs
-    T_out, iters, codes, pur, wpur, res = jax.device_get(
+    T_out, iters, codes, pur, wpur, res, overflow = jax.device_get(
         (T_out, iters, codes, stats.point_used_ratio,
-         stats.weighted_point_used_ratio, stats.residual)
+         stats.weighted_point_used_ratio, stats.residual, overflow)
     )
     info = {
         "iterations": np.asarray(iters),
@@ -281,6 +303,7 @@ def register_batch_to_map(
         "point_used_ratio": np.asarray(pur),
         "weighted_point_used_ratio": np.asarray(wpur),
         "residual": np.asarray(res),
+        "compact_overflow": np.asarray(overflow),
     }
     return np.asarray(T_out), info
 
@@ -302,24 +325,30 @@ def _build_serve_runner(seq, b: int, cap):
             reading = apply_filter_chain_traced(
                 reading_filters, reading, kr
             )
+            overflow = jnp.bool_(False)
             if cap is not None:
+                overflow = reading.count() > cap
                 reading = reading.compact_traced(cap)
             T_rmd = Trm_inv @ T_init
-            return _apply_transform(transformations, reading, T_rmd), T_rmd
+            return (
+                _apply_transform(transformations, reading, T_rmd),
+                T_rmd,
+                overflow,
+            )
 
         # two sequential vmaps inside one jit — NOT one vmapped closure
         # doing prep + loop together: nesting the while_loop inside the
         # same per-pair closure as the prep measured +50% per iteration
         # (XLA pulls prep work into the loop body); the split form keeps
         # the loop body minimal.
-        prepped, T_rmd_b = jax.vmap(prep, in_axes=(0, 0, 0))(
+        prepped, T_rmd_b, overflow = jax.vmap(prep, in_axes=(0, 0, 0))(
             batch_reading, T_inits_b, jnp.arange(b)
         )
         T_iter, iters, code, stats = jax.vmap(
             run_loop, in_axes=(0, None)
         )(prepped, reference)
         T_out = jnp.einsum("ij,bjk,bkl->bil", Trm, T_iter, T_rmd_b)
-        return T_out, iters, code, stats
+        return T_out, iters, code, stats, overflow
 
     return jax.jit(serve, static_argnames=())
 

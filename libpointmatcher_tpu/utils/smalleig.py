@@ -30,7 +30,12 @@ def _jacobi_rotation(A, V, i, j):
     # nonzero aij gives |τ| huge → τ² = inf → t = 0 as well (harmless).
     safe = jnp.where(aij == 0.0, 1.0, 2.0 * aij)
     tau = (ajj - aii) / safe
-    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    # sign(tau) must treat tau == 0 as +1: equal diagonal entries with a
+    # nonzero off-diagonal (tau == 0) need the full 45-degree rotation
+    # (t = 1); jnp.sign(0) = 0 would degenerate to the identity while the
+    # force-zero below silently corrupts the matrix.
+    sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+    t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
     t = jnp.where(jnp.logical_or(aij == 0.0, jnp.isnan(t)), 0.0, t)
     c = 1.0 / jnp.sqrt(1.0 + t * t)
     s = t * c

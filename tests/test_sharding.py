@@ -216,6 +216,26 @@ def test_register_batch_to_map_fused_matches_host(data3d, ref3d):
     assert np.all(np.abs(info_f["iterations"] - info_h["iterations"]) <= 2)
 
 
+def test_register_batch_to_map_overflow_flag(data3d, ref3d):
+    """Compaction truncation is never silent: a pinned cap smaller than the
+    survivor count sets info['compact_overflow'] for the affected pairs;
+    the auto cap (keep-rate scaled to the padded capacity) never overflows
+    (advisor finding, round 1)."""
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(ref3d)
+
+    _, info_auto = register_batch_to_map(seq, [data3d, data3d], seed=11)
+    assert not np.any(info_auto["compact_overflow"])
+
+    _, info_tiny = register_batch_to_map(
+        seq, [data3d, data3d], seed=11, compact_rows=32
+    )
+    assert np.all(info_tiny["compact_overflow"])
+
+
 def test_register_batch_to_map_host_fallback(data3d, ref3d):
     """Host-stateful filters (FixStepSampling) must take the host path."""
     from libpointmatcher_tpu.filters.basic import (

@@ -39,6 +39,24 @@ def test_jacobi_singular_6x6():
     assert np.sum(np.asarray(w) < 1e-4 * np.asarray(w).max()) == 3
 
 
+def test_jacobi_equal_diagonal():
+    """tau == 0 (equal diagonal entries, nonzero off-diagonal) requires the
+    full 45-degree rotation; a sign(0)=0 implementation silently corrupts
+    the matrix (advisor finding, round 1)."""
+    A = np.array([[2.0, 1.0], [1.0, 2.0]], np.float32)
+    w, V = eigh_jacobi(A)
+    _check(A, w, V)
+    np.testing.assert_allclose(np.sort(np.asarray(w)), [1.0, 3.0], atol=1e-5)
+
+    # batched 3x3 with exactly-equal diagonals in every pair
+    A3 = np.full((3, 3), 1.0, np.float32) + 2.0 * np.eye(3, dtype=np.float32)
+    w3, V3 = eigh_jacobi(A3)
+    _check(A3, w3, V3)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(w3)), np.linalg.eigvalsh(A3), atol=1e-5
+    )
+
+
 def test_eigh3_sorted_batched_matches_numpy():
     rng = np.random.default_rng(2)
     B = rng.normal(size=(500, 3, 3)).astype(np.float32)
