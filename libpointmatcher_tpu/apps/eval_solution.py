@@ -3,11 +3,15 @@
 
 The reference downloads the six sequences (apartment, ETH hauptgebaude,
 plain, stairs, gazebo winter, wood summer) and runs a YAML solution over all
-protocol pairs with one thread per core. This environment has no network
-egress, so the datasets must already be on disk (``--data-root``); the
-per-pair sweep — the reference's thread-per-core loop — is batched instead:
-pairs are registered back-to-back on device with shapes bucketed so the jit
-cache is shared across pairs (and across hosts, shard the pair list).
+protocol pairs with one thread per core
+(reference: eval_solution.cpp:125-131 — one EvaluationModule per coreId).
+This environment has no network egress, so the datasets must already be on
+disk (``--data-root``); the per-pair sweep — the reference's thread-per-core
+loop — maps to pair-parallel batching on device: pairs are grouped by
+padded-shape bucket and each group runs one vmapped fixed-point loop
+(:func:`..parallel.batch.register_batch`), so an N-pair sweep issues
+~N/batch device programs instead of N. ``--batch 1`` recovers the
+sequential per-pair path (used by tests to cross-check the two drivers).
 
 Protocol CSV format: the standard ``local_frame`` validation files with
 ``reading``/``reference`` cloud names and iTxy initial + gTxy ground-truth
@@ -45,8 +49,42 @@ def pose_errors(T_est: np.ndarray, T_gt: np.ndarray):
     return trans_err, ang
 
 
+_CODE_MESSAGES = {
+    2: "abs rotation/translation norm not a number",
+    3: "transformation bound exceeded (BoundTransformationChecker)",
+    4: "ErrorMinimizer: no point to minimize",
+}
+
+
+def _finish_row(i, info, T, wall, iterations, err, verbose=True):
+    row = {
+        "pair": i,
+        "reading": os.path.basename(info.reading),
+        "reference": os.path.basename(info.reference),
+        "T": np.asarray(T).tolist(),
+        "time_s": wall,
+        "iterations": int(iterations),
+        "error": err,
+    }
+    if info.ground_truth_transformation is not None:
+        te, re_ = pose_errors(
+            np.asarray(T), np.asarray(info.ground_truth_transformation)
+        )
+        row["trans_err"] = te
+        row["rot_err"] = re_
+    if verbose:
+        print(
+            f"[{i + 1}] {row['reading']}→{row['reference']} {wall:.3f}s"
+            + (f" terr={row.get('trans_err', float('nan')):.4f}"
+               f" rerr={row.get('rot_err', float('nan')):.4f}"
+               if "trans_err" in row else "")
+        )
+    return row
+
+
 def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
-                      limit: int = 0, seed: int = 0):
+                      limit: int = 0, seed: int = 0, batch: int = 8,
+                      verbose: bool = True):
     infos = load_file_info_vector(protocol_csv, data_path=data_path)
     if limit:
         infos = infos[:limit]
@@ -59,17 +97,68 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
     icp = pm.ICP()
     icp.load_from_yaml(yaml_text)
 
-    results = []
     cache = {}
-    for i, info in enumerate(infos):
-        if info.reference is None:
-            continue
-        reading = cache.get(info.reading)
-        if reading is None:
-            reading = cache[info.reading] = pm.io.load(info.reading)
-        reference = cache.get(info.reference)
-        if reference is None:
-            reference = cache[info.reference] = pm.io.load(info.reference)
+
+    def cloud(path):
+        c = cache.get(path)
+        if c is None:
+            c = cache[path] = pm.io.load(path)
+        return c
+
+    pairs = [(i, info) for i, info in enumerate(infos)
+             if info.reference is not None]
+
+    if batch <= 1:
+        return _evaluate_sequential(icp, pairs, cloud, seed, verbose)
+
+    from ..cloud import bucket_size
+    from ..parallel import register_batch
+
+    # group pairs by padded-shape bucket so every group reuses one compiled
+    # vmapped loop, then sweep each group in chunks of ``batch`` pairs
+    groups = {}
+    for i, info in pairs:
+        key = (
+            bucket_size(cloud(info.reading).num_points),
+            bucket_size(cloud(info.reference).num_points),
+        )
+        groups.setdefault(key, []).append((i, info))
+
+    results = []
+    for key, members in sorted(groups.items()):
+        for off in range(0, len(members), batch):
+            chunk = members[off: off + batch]
+            readings = [cloud(info.reading) for _, info in chunk]
+            references = [cloud(info.reference) for _, info in chunk]
+            T_inits = [
+                np.asarray(info.initial_transformation, np.float32)
+                if info.initial_transformation is not None
+                else np.eye(readings[0].dim + 1, dtype=np.float32)
+                for _, info in chunk
+            ]
+            t0 = time.perf_counter()
+            T_b, binfo = register_batch(
+                icp, readings, references, T_inits=T_inits,
+                seed=seed + chunk[0][0],
+            )
+            wall = (time.perf_counter() - t0) / len(chunk)
+            for b, (i, info) in enumerate(chunk):
+                code = int(binfo["codes"][b])
+                err = _CODE_MESSAGES.get(code)
+                T = T_b[b] if err is None else np.eye(readings[0].dim + 1)
+                results.append(_finish_row(
+                    i, info, T, wall, binfo["iterations"][b], err, verbose
+                ))
+    results.sort(key=lambda r: r["pair"])
+    return results
+
+
+def _evaluate_sequential(icp, pairs, cloud, seed, verbose):
+    """Per-pair driver (--batch 1): one device program per registration."""
+    results = []
+    for i, info in pairs:
+        reading = cloud(info.reading)
+        reference = cloud(info.reference)
         T_init = (
             np.asarray(info.initial_transformation, np.float32)
             if info.initial_transformation is not None else None
@@ -83,29 +172,9 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
             T = np.eye(reading.dim + 1)
             err = str(e)
         wall = time.perf_counter() - t0
-        row = {
-            "pair": i,
-            "reading": os.path.basename(info.reading),
-            "reference": os.path.basename(info.reference),
-            "T": T.tolist(),
-            "time_s": wall,
-            "iterations": icp.last_iteration_count,
-            "error": err,
-        }
-        if info.ground_truth_transformation is not None:
-            te, re_ = pose_errors(
-                T, np.asarray(info.ground_truth_transformation)
-            )
-            row["trans_err"] = te
-            row["rot_err"] = re_
-        results.append(row)
-        print(
-            f"[{i + 1}/{len(infos)}] {row['reading']}→{row['reference']} "
-            f"{wall:.3f}s"
-            + (f" terr={row.get('trans_err', float('nan')):.4f}"
-               f" rerr={row.get('rot_err', float('nan')):.4f}"
-               if "trans_err" in row else "")
-        )
+        results.append(_finish_row(
+            i, info, T, wall, icp.last_iteration_count, err, verbose
+        ))
     return results
 
 
@@ -138,11 +207,14 @@ def main(argv=None):
                    "(e.g. the reference's official_solutions/*.yaml)")
     p.add_argument("--data-root", default="", help="directory of the clouds")
     p.add_argument("--limit", type=int, default=0, help="max pairs (0 = all)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="pairs per vmapped device program (1 = sequential)")
     p.add_argument("--output", default="eval_results.json")
     args = p.parse_args(argv)
 
     results = evaluate_protocol(
-        args.protocol, args.config, args.data_root, args.limit
+        args.protocol, args.config, args.data_root, args.limit,
+        batch=args.batch,
     )
     summary = summarize(results)
     with open(args.output, "w") as f:

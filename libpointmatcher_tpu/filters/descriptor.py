@@ -24,9 +24,26 @@ class GestaltDataPointsFilter(DataPointsFilter):
     keypoints, each described by 4 radial x 8 angular bins of neighbor-height
     means/variances in a normal-oriented frame.
 
-    TPU design: keypoint selection + box neighborhoods are one vectorized
-    pass ([K, N] box masks); covariance/eigen and the 32-bin statistics are
-    batched segment reductions on device."""
+    TPU design: keypoint selection is host-side (data-dependent voxel
+    firsts); everything per-keypoint — box masks, covariance/eigen, the
+    32-bin statistics — runs on device in fixed-size keypoint chunks
+    (``lax.map`` over [Kc, N] tiles with segment-sum bin reductions), so
+    device memory is O(Kc·N) and there is no per-point host iteration.
+
+    ``warpedXYZ`` parity note: the reference emits a 3-row descriptor of
+    this name but never defines its content — Gestalt.cpp:467 writes each
+    box's warped neighbor coordinates into the *global* descriptor columns
+    ``0..colCount-1`` (scratch reuse, not the box's own columns), so after
+    the final compaction (Gestalt.cpp:205) a surviving keypoint's column
+    holds a leftover warp of whichever box was processed last over that
+    column index — a function of box traversal order, not of the keypoint.
+    The only well-defined per-keypoint value of the same quantity (the
+    keypoint's own coordinates warped into its new basis, (p−kp)ᵀ·basis at
+    p = kp) is identically zero, which is what this implementation emits;
+    the descriptor exists so reference-schema consumers find the channel.
+    Everything observable about the descriptor output — bin means/variances
+    (including the reference's count normalization and empty-outer-bin
+    propagation), shapes, discards — is pinned by tests/test_filters.py."""
 
     PARAMS = (
         Param("ratio", "ratio of keypoints to keep with random subsampling",
@@ -76,71 +93,111 @@ class GestaltDataPointsFilter(DataPointsFilter):
         K = len(kp_idx)
 
         pts = jnp.asarray(host_pts)
-        kp = pts[jnp.asarray(kp_idx)]  # [K, 3]
+        # keypoint chunking: device memory stays O(Kc·N) — the round-1
+        # [K, N, 32] one-hot was O(K·N·32) and unusable at 10^5-point clouds
+        KC = 64
+        K_pad = ((K + KC - 1) // KC) * KC
+        kp_all = np.zeros((K_pad, 3), np.float32)
+        kp_all[:K] = host_pts[kp_idx]
+        kp_chunks = jnp.asarray(kp_all).reshape(K_pad // KC, KC, 3)
+        radius = float(self.radius)
 
-        # 2. box neighborhoods of ±radius around each keypoint
-        diff = pts[None, :, :] - kp[:, None, :]  # [K, N, 3]
-        inbox = jnp.all(jnp.abs(diff) <= self.radius, axis=-1)  # [K, N]
-        selfmask = jnp.any(diff != 0.0, axis=-1)
-        nb = jnp.logical_and(inbox, selfmask)
-        count = jnp.maximum(jnp.sum(nb, axis=1), 1)  # [K]
+        def chunk_stats(kp):
+            # kp [KC, 3] → per-keypoint neighborhood statistics
+            diff = pts[None, :, :] - kp[:, None, :]        # [KC, N, 3]
+            inbox = jnp.all(jnp.abs(diff) <= radius, axis=-1)
+            selfmask = jnp.any(diff != 0.0, axis=-1)
+            nb = jnp.logical_and(inbox, selfmask)           # [KC, N]
+            nbf = nb.astype(jnp.float32)
+            count = jnp.maximum(jnp.sum(nb, axis=1), 1)
 
-        w = nb.astype(jnp.float32)[:, :, None]
-        mean = jnp.sum(pts[None] * w, axis=1) / count[:, None]
-        centered = (pts[None] - mean[:, None, :]) * w
-        C = jnp.einsum("knd,kne->kde", centered, centered)
-        eigva, eigve = jnp.linalg.eigh(C)
+            w = nbf[:, :, None]
+            mean = jnp.sum(pts[None] * w, axis=1) / count[:, None]
+            centered = (pts[None] - mean[:, None, :]) * w
+            C = jnp.einsum("knd,kne->kde", centered, centered)
+            eigva, eigve = jnp.linalg.eigh(C)
 
-        normal = eigve[:, :, 0]
-        s = jnp.maximum(jnp.sum(eigva, axis=1), 1e-30)
-        # sorted ascending: planarity = 2(λ1-λ0)/Σ, cylindricality = (λ2-λ1)/Σ
-        planarity = 2.0 * (eigva[:, 1] - eigva[:, 0]) / s
-        cylindricality = (eigva[:, 2] - eigva[:, 1]) / s
+            normal = eigve[:, :, 0]
+            s = jnp.maximum(jnp.sum(eigva, axis=1), 1e-30)
+            # ascending eigenvalues: planarity 2(λ1-λ0)/Σ, cyl (λ2-λ1)/Σ
+            planarity = 2.0 * (eigva[:, 1] - eigva[:, 0]) / s
+            cylindricality = (eigva[:, 2] - eigva[:, 1]) / s
 
-        up = jnp.array([0.0, 0.0, 1.0])
-        nx = normal * jnp.array([1.0, 1.0, 0.0])
-        nx = nx / jnp.maximum(jnp.linalg.norm(nx, axis=1, keepdims=True), 1e-12)
-        ny = jnp.cross(jnp.broadcast_to(up, nx.shape), nx)
-        ny = ny / jnp.maximum(jnp.linalg.norm(ny, axis=1, keepdims=True), 1e-12)
-        basis = jnp.stack([nx, ny, jnp.broadcast_to(up, nx.shape)], axis=2)  # [K,3,3]
+            up = jnp.array([0.0, 0.0, 1.0])
+            nx = normal * jnp.array([1.0, 1.0, 0.0])
+            nx = nx / jnp.maximum(
+                jnp.linalg.norm(nx, axis=1, keepdims=True), 1e-12
+            )
+            ny = jnp.cross(jnp.broadcast_to(up, nx.shape), nx)
+            ny = ny / jnp.maximum(
+                jnp.linalg.norm(ny, axis=1, keepdims=True), 1e-12
+            )
+            basis = jnp.stack(
+                [nx, ny, jnp.broadcast_to(up, nx.shape)], axis=2
+            )                                               # [KC, 3, 3]
 
-        warped = jnp.einsum("knd,kde->kne", diff, basis)  # [K, N, 3]
-        heights = warped[:, :, 2]
-        radii = jnp.linalg.norm(warped[:, :, :2], axis=-1)
-        angles = jnp.mod(
-            jnp.arctan2(warped[:, :, 1], warped[:, :, 0]) + 2 * math.pi,
-            2 * math.pi,
+            warped = jnp.einsum("knd,kde->kne", diff, basis)
+            heights = warped[:, :, 2]
+            radii = jnp.linalg.norm(warped[:, :, :2], axis=-1)
+            angles = jnp.mod(
+                jnp.arctan2(warped[:, :, 1], warped[:, :, 0]) + 2 * math.pi,
+                2 * math.pi,
+            )
+            rbin = jnp.clip((radii / (radius / 4)).astype(jnp.int32), 0, 3)
+            abin = jnp.clip((angles / (math.pi / 4)).astype(jnp.int32), 0, 7)
+            binid = rbin * 8 + abin                         # [KC, N] in [0,32)
+            # segment-sum bin statistics: slot 32 swallows non-neighbors
+            row = jnp.arange(KC, dtype=jnp.int32)[:, None]
+            seg = row * 33 + jnp.where(nb, binid, 32)       # [KC, N]
+            segf = seg.reshape(-1)
+
+            def binsum(x):
+                return jax.ops.segment_sum(
+                    x.reshape(-1), segf, KC * 33
+                ).reshape(KC, 33)[:, :32]
+
+            nvals = binsum(nbf)
+            hsum = binsum(heights * nbf)
+            gmeans = hsum / jnp.maximum(nvals, 1.0)
+            dev2 = (heights - jnp.take_along_axis(
+                jnp.pad(gmeans, ((0, 0), (0, 1))), seg - row * 33, axis=1
+            )) ** 2
+            # variance = mean squared deviation per bin (reference divides
+            # by numOfValues, Gestalt.cpp:532-535)
+            gvars = binsum(dev2 * nbf) / jnp.maximum(nvals, 1.0)
+
+            gm = gmeans.reshape(KC, 4, 8)
+            gv = gvars.reshape(KC, 4, 8)
+            # empty-outer-bin propagation keyed on mean == 0, exactly the
+            # reference condition (Gestalt.cpp:525-530)
+            for radial in range(1, 4):
+                empty = gm[:, radial, :] == 0
+                gm = gm.at[:, radial, :].set(
+                    jnp.where(empty, gm[:, radial - 1, :], gm[:, radial, :])
+                )
+                gv = gv.at[:, radial, :].set(
+                    jnp.where(empty, gv[:, radial - 1, :], gv[:, radial, :])
+                )
+
+            vert_angle = jnp.arccos(jnp.clip(jnp.abs(normal[:, 2]), -1.0, 1.0))
+            ok = jnp.logical_and(
+                planarity <= 0.9, vert_angle >= 10 * math.pi / 180
+            )
+            ok = jnp.logical_and(ok, jnp.sum(nb, axis=1) > 0)
+            return (
+                normal, mean, eigva, eigve, C, gm.reshape(KC, 32),
+                gv.reshape(KC, 32),
+                jnp.stack([planarity, cylindricality], axis=1), ok,
+            )
+
+        outs = jax.lax.map(chunk_stats, kp_chunks)
+        (normal, mean, eigva, eigve, C, gmeans, gvars, shapes, ok) = (
+            jax.tree_util.tree_map(
+                lambda x: x.reshape((K_pad,) + x.shape[2:])[:K], outs
+            )
         )
-
-        rbin = jnp.clip((radii / (self.radius / 4)).astype(jnp.int32), 0, 3)
-        abin = jnp.clip((angles / (math.pi / 4)).astype(jnp.int32), 0, 7)
-        binid = rbin * 8 + abin  # [K, N] in [0, 32)
-        onehot = jax.nn.one_hot(binid, 32, dtype=jnp.float32) * nb[:, :, None].astype(jnp.float32)
-        nvals = jnp.sum(onehot, axis=1)  # [K, 32]
-        hsum = jnp.sum(onehot * heights[:, :, None], axis=1)
-        gmeans = hsum / jnp.maximum(nvals, 1.0)
-        dev2 = (heights[:, :, None] - gmeans[:, None, :]) ** 2
-        gvars = jnp.sum(onehot * dev2, axis=1)
-
-        # propagate empty outer bins from the next inner radial bin
-        gm = gmeans.reshape(K, 4, 8)
-        gv = gvars.reshape(K, 4, 8)
-        for radial in range(1, 4):
-            empty = gm[:, radial, :] == 0
-            gm = gm.at[:, radial, :].set(
-                jnp.where(empty, gm[:, radial - 1, :], gm[:, radial, :])
-            )
-            gv = gv.at[:, radial, :].set(
-                jnp.where(empty, gv[:, radial - 1, :], gv[:, radial, :])
-            )
-        gmeans = gm.reshape(K, 32)
-        gvars = gv.reshape(K, 32)
-
-        # discards (reference: planarity > 0.9, normal within 10° of vertical,
-        # empty neighborhood)
-        vert_angle = jnp.arccos(jnp.clip(jnp.abs(normal[:, 2]), -1.0, 1.0))
-        ok = jnp.logical_and(planarity <= 0.9, vert_angle >= 10 * math.pi / 180)
-        ok = jnp.logical_and(ok, jnp.sum(nb, axis=1) > 0)
+        planarity = shapes[:, 0]
+        kp = pts[jnp.asarray(kp_idx)]
 
         descs = {}
         base_descs = {k: v[kp_idx] for k, v in host_descs.items()}
@@ -158,22 +215,39 @@ class GestaltDataPointsFilter(DataPointsFilter):
         if self.keepGestaltFeatures:
             descs["gestaltMeans"] = gmeans
             descs["gestaltVariances"] = gvars
+            # zero-valued by design — see the class docstring's parity note
             descs["warpedXYZ"] = jnp.zeros((K, 3), jnp.float32)
-            descs["gestaltShapes"] = jnp.stack([planarity, cylindricality], axis=1)
+            descs["gestaltShapes"] = shapes
 
         times = {}
         if host_times:
             tname = next(iter(host_times))
             tv = host_times[tname][:, 0]
-            nbh = np.asarray(nb)
             tmin = np.zeros(K, np.int64)
             tmax = np.zeros(K, np.int64)
             tmean = np.zeros(K, np.int64)
-            for ki in range(K):
-                sel = tv[nbh[ki]]
-                if len(sel):
-                    tmin[ki], tmax[ki] = sel.min(), sel.max()
-                    tmean[ki] = int(sel.mean())
+            kp_h = host_pts[kp_idx]
+            # chunked vectorized neighborhood time stats (no O(K·N) host
+            # allocation, no per-keypoint Python loop over N)
+            for c0 in range(0, K, 64):
+                kpc = kp_h[c0:c0 + 64]
+                d = np.abs(host_pts[None, :, :] - kpc[:, None, :])
+                nbh = np.all(d <= self.radius, axis=-1) & np.any(
+                    d != 0.0, axis=-1
+                )
+                cnt = np.maximum(nbh.sum(axis=1), 1)
+                big = np.iinfo(np.int64).max
+                tmin[c0:c0 + 64] = np.where(
+                    nbh, tv[None, :], big).min(axis=1)
+                tmax[c0:c0 + 64] = np.where(
+                    nbh, tv[None, :], -big - 1).max(axis=1)
+                tmean[c0:c0 + 64] = (
+                    np.where(nbh, tv[None, :].astype(np.float64), 0.0)
+                    .sum(axis=1) / cnt
+                ).astype(np.int64)
+                none = nbh.sum(axis=1) == 0
+                tmin[c0:c0 + 64][none] = 0
+                tmax[c0:c0 + 64][none] = 0
             times[tname] = np.stack([tmin, tmax, tmean], axis=1)
 
         from ..cloud import split_int64

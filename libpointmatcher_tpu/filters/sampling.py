@@ -74,7 +74,9 @@ class VoxelGridDataPointsFilter(DataPointsFilter):
         for a in range(1, d):
             lin = lin + idx3[:, a] * stride
             stride *= dims[a]
-        uniq, seg = np.unique(lin, return_inverse=True)
+        uniq, first, seg = np.unique(
+            lin, return_index=True, return_inverse=True
+        )
         num_vox = len(uniq)
 
         pts = jnp.asarray(host_pts)
@@ -83,16 +85,12 @@ class VoxelGridDataPointsFilter(DataPointsFilter):
         if self.useCentroid:
             out_pts = means
         else:
-            # cell centers in the original coordinate frame
-            base = np.floor(host_pts / vsize)
+            # cell centers in the original coordinate frame; ``first`` is
+            # np.unique's first-occurrence index per cell (vectorized — no
+            # per-point host iteration on the N axis)
+            base = np.floor(host_pts[first] / vsize)
             centers = (base + 0.5) * vsize
-            first = np.zeros(num_vox, dtype=np.int64)
-            seen = np.zeros(num_vox, bool)
-            for i, s in enumerate(seg):
-                if not seen[s]:
-                    seen[s] = True
-                    first[s] = i
-            out_pts = jnp.asarray(centers[first].astype(np.float32))
+            out_pts = jnp.asarray(centers.astype(np.float32))
 
         descs = {}
         if self.averageExistingDescriptors:
@@ -184,22 +182,17 @@ class OctreeGridDataPointsFilter(DataPointsFilter):
         num_leaves = int(leaf.max()) + 1
 
         rng = np.random.default_rng(np.asarray(jax.random.key_data(key))[-1])
-        reps = np.zeros(num_leaves, np.int64)
         if self.samplingMethod in (0, 1):
+            # vectorized first/random representative per leaf: stable-sort
+            # (by leaf, in scan or permuted order) then take each segment's
+            # first row — no per-point Python iteration
             if self.samplingMethod == 0:
-                seen = np.zeros(num_leaves, bool)
-                for i, s in enumerate(leaf):
-                    if not seen[s]:
-                        seen[s] = True
-                        reps[s] = i
+                perm = np.arange(n)
             else:
                 perm = rng.permutation(n)
-                seen = np.zeros(num_leaves, bool)
-                for i in perm:
-                    s = leaf[i]
-                    if not seen[s]:
-                        seen[s] = True
-                        reps[s] = i
+            order = perm[np.argsort(leaf[perm], kind="stable")]
+            starts = np.searchsorted(leaf[order], np.arange(num_leaves))
+            reps = order[starts]
             out_pts = host_pts[reps]
             descs = {k: v[reps] for k, v in host_descs.items()}
             times = {k: v[reps] for k, v in host_times.items()}
@@ -220,15 +213,13 @@ class OctreeGridDataPointsFilter(DataPointsFilter):
                 np.minimum.at(tmin, leaf, v)
                 times[k] = tmin
             return PointCloud.from_numpy(out_pts, descs, times)
-        # medoid: the in-cell point closest to the centroid
+        # medoid: the in-cell point closest to the centroid — vectorized
+        # per-segment argmin via (leaf, distance) lexsort + segment firsts
         d2 = jnp.sum((pts - means[segj]) ** 2, axis=1)
         d2h = np.asarray(d2)
-        best = np.full(num_leaves, np.inf)
-        for i in range(n):
-            s = leaf[i]
-            if d2h[i] < best[s]:
-                best[s] = d2h[i]
-                reps[s] = i
+        order = np.lexsort((d2h, leaf))
+        starts = np.searchsorted(leaf[order], np.arange(num_leaves))
+        reps = order[starts]
         out_pts = host_pts[reps]
         descs = {k: v[reps] for k, v in host_descs.items()}
         times = {k: v[reps] for k, v in host_times.items()}
@@ -274,19 +265,30 @@ class NormalSpaceDataPointsFilter(DataPointsFilter):
         bucket = np.clip(bucket, 0, n_theta * n_phi - 1)
 
         rng = np.random.default_rng(self.seed)
+        # vectorized bucket construction (no O(N) Python loop): permute,
+        # then stable-sort by bucket — each bucket's members end up
+        # contiguous, in permutation order; popping from the run's end
+        # reproduces the reference's per-bucket stack draw
         order = rng.permutation(n)
-        buckets = {}
-        for i in order:
-            buckets.setdefault(bucket[i], []).append(i)
-        bucket_list = list(buckets.values())
-        keep = []
-        while len(keep) < self.nbSample and bucket_list:
-            bi = rng.integers(len(bucket_list))
-            b = bucket_list[bi]
-            keep.append(b.pop())
-            if not b:
-                bucket_list.pop(bi)
-        keep = np.asarray(keep, np.int64)
+        grouped = order[np.argsort(bucket[order], kind="stable")]
+        ub, counts = np.unique(bucket, return_counts=True)
+        ends = np.cumsum(counts)          # exclusive end of each run
+        remaining = counts.copy()
+        alive = np.arange(len(ub))        # non-empty bucket slots
+        n_alive = len(alive)
+        take = min(self.nbSample, n)
+        keep = np.empty(take, np.int64)
+        # uniform draw over remaining non-empty buckets until nbSample
+        # (reference: NormalSpace.cpp:66-150); O(nbSample) host steps
+        for j in range(take):
+            ai = int(rng.integers(n_alive))
+            b = alive[ai]
+            remaining[b] -= 1
+            keep[j] = grouped[ends[b] - 1 - (counts[b] - 1 - remaining[b])]
+            if remaining[b] == 0:
+                n_alive -= 1
+                alive[ai] = alive[n_alive]
+        keep = keep[:take]
         return PointCloud.from_numpy(
             host_pts[keep],
             {k: v[keep] for k, v in host_descs.items()},
@@ -462,12 +464,9 @@ class ElipsoidsDataPointsFilter(DataPointsFilter):
             out_pts = pts
             per_point = True
         else:
-            first = np.zeros(num_boxes, np.int64)
-            seen = np.zeros(num_boxes, bool)
-            for i, b in enumerate(box):
-                if not seen[b]:
-                    seen[b] = True
-                    first[b] = i
+            # vectorized first-occurrence per box
+            first = np.full(num_boxes, n, np.int64)
+            np.minimum.at(first, box, np.arange(n))
             keep = jnp.zeros((n,), bool).at[jnp.asarray(first)].set(True)
             keep = jnp.logical_and(keep, jnp.logical_not(unfit[seg]))
             out_pts = means[seg]

@@ -333,11 +333,12 @@ class ICP(ICPChainBase):
         self.last_iteration_count = int(iters)
         self.last_stats = stats
         if fused:
-            # brute force touches every (valid reading, valid reference) pair
+            # per-matcher touch statistics (reference: MatchersImpl.cpp:86-101
+            # accumulates actual kd-tree visit counts): the dense sweep
+            # reports N·M, culling matchers their real candidate counts
             self.matcher.visit_count += (
                 self.last_iteration_count
-                * reading.count_host()
-                * reference.count_host()
+                * self.matcher.touched_per_iteration(reading, reference)
             )
         if code == CODE_NAN_ERROR:
             raise ConvergenceError("abs rotation/translation norm not a number")
@@ -608,8 +609,8 @@ class ICP(ICPChainBase):
                     step_reading, reference, T_iter, checker_states,
                     outlier_states, jnp.int32(iteration),
                 )
-            self.matcher.visit_count += (
-                step_reading.count_host() * reference.count_host()
+            self.matcher.visit_count += self.matcher.touched_per_iteration(
+                step_reading, reference
             )
             if self.inspector.needs_iteration_data:
                 stepped_vis = _apply_transform(

@@ -90,7 +90,15 @@ class Matcher(Parametrizable):
         return None
 
     # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
-    # brute force inspects every (valid reading, valid reference) pair.
+    # each matcher reports how many (query, candidate) pairs one call
+    # actually inspects; the engine accumulates it per iteration into
+    # ``visit_count`` (surfaced as the PointCountTouched stat). The dense
+    # sweep inspects every (valid reading, valid reference) pair; culling
+    # matchers report their real candidate counts (see overrides).
+    def touched_per_iteration(self, reading: PointCloud,
+                              reference: PointCloud) -> int:
+        return reading.count_host() * reference.count_host()
+
     def get_visit_count(self) -> int:
         return self.visit_count
 
@@ -111,6 +119,9 @@ class NullMatcher(Matcher):
             jnp.full((n, 1), jnp.inf, jnp.float32),
             jnp.full((n, 1), -1, jnp.int32),
         )
+
+    def touched_per_iteration(self, reading, reference) -> int:
+        return 0
 
 
 @MatcherRegistrar.register
@@ -180,6 +191,23 @@ class CellGridMatcher(Matcher):
         host = jax.device_get((reference.points, reference.mask))
         self._grid = build_cell_grid(host[0], host[1], float(self.maxDist))
         self._grid_shape = tuple(reference.points.shape)
+        # host mirror of the cell occupancy for the touch statistic
+        # (reference: MatchersImpl.cpp:86-101)
+        import numpy as np
+
+        pts = np.asarray(host[0], np.float64)
+        valid = np.asarray(host[1], bool)
+        vp = pts[valid] if valid.any() else np.zeros((1, pts.shape[1]))
+        origin = vp.min(axis=0)
+        coords = np.floor((vp - origin) / float(self.maxDist)).astype(np.int64)
+        dims = coords.max(axis=0) + 1
+        lin = coords[:, 0].copy()
+        stride = int(dims[0])
+        for a in range(1, pts.shape[1]):
+            lin += coords[:, a] * stride
+            stride *= int(dims[a])
+        ulins, counts = np.unique(lin, return_counts=True)
+        self._host_cells = (origin, dims, ulins, counts)
         # the grid arrays are closed over (baked into traced programs as
         # constants); bump the token so engine jit-cache keys change per init
         CellGridMatcher._init_counter += 1
@@ -205,6 +233,37 @@ class CellGridMatcher(Matcher):
             float(self.maxDist), k=self.knn,
         )
         return Matches(dists, ids)
+
+    def touched_per_iteration(self, reading, reference) -> int:
+        """Candidate pairs swept per call: each valid query inspects the
+        occupancy of its 3^d cell neighborhood, evaluated at the reading's
+        current host snapshot (loop-start positions in the fused engine —
+        cells drift by at most the ICP correction across iterations)."""
+        if getattr(self, "_host_cells", None) is None:
+            return super().touched_per_iteration(reading, reference)
+        import numpy as np
+        import jax as _jax
+
+        origin, dims, ulins, counts = self._host_cells
+        pts, mask = _jax.device_get((reading.points, reading.mask))
+        q = np.asarray(pts, np.float64)[np.asarray(mask, bool)]
+        if len(q) == 0:
+            return 0
+        d = q.shape[1]
+        qc = np.floor((q - origin) / float(self.maxDist)).astype(np.int64)
+        offs = np.stack(
+            np.meshgrid(*([[-1, 0, 1]] * d), indexing="ij"), axis=-1
+        ).reshape(-1, d)
+        nc = qc[:, None, :] + offs[None, :, :]            # [N, 3^d, d]
+        in_grid = np.all((nc >= 0) & (nc < dims), axis=-1)
+        lin = nc[..., 0].copy()
+        stride = int(dims[0])
+        for a in range(1, d):
+            lin += nc[..., a] * stride
+            stride *= int(dims[a])
+        pos = np.clip(np.searchsorted(ulins, lin), 0, max(len(ulins) - 1, 0))
+        hit = in_grid & (len(ulins) > 0) & (ulins[pos] == lin)
+        return int(np.where(hit, counts[pos], 0).sum())
 
 
 @MatcherRegistrar.register
@@ -244,6 +303,7 @@ class BlockGridMatcher(Matcher):
         self._blocks = None
         self._ref_shape = None
         self.cache_token = None
+        self._loop_touched = None
 
     @property
     def _cell_size(self) -> float:
@@ -262,6 +322,7 @@ class BlockGridMatcher(Matcher):
         self.cache_token = BlockGridMatcher._init_counter
 
     def prepare_loop(self, reading: PointCloud):
+        self._loop_touched = None
         if self._blocks is None:
             return None
         import jax
@@ -270,6 +331,10 @@ class BlockGridMatcher(Matcher):
         from .ops.cellblocks import assign_query_blocks
 
         qb = assign_query_blocks(pts, mask, self._blocks)
+        # actual candidate pairs this assignment sweeps per iteration — the
+        # whole point of the block sweep is touching fewer pairs than N·M,
+        # and the stat must say so (reference: MatchersImpl.cpp:86-101)
+        self._loop_touched = qb.touched
         # everything the traced path needs travels as jit arguments — no
         # arrays baked into the program as constants
         return {
@@ -278,6 +343,12 @@ class BlockGridMatcher(Matcher):
             "blocks": self._blocks.blocks,
             "block_ids": self._blocks.block_ids,
         }
+
+    def touched_per_iteration(self, reading, reference) -> int:
+        if self._loop_touched is not None:
+            return self._loop_touched
+        # fallback paths use the dense sweep (see find_closests_in)
+        return super().touched_per_iteration(reading, reference)
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:

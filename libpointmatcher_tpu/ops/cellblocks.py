@@ -49,6 +49,7 @@ class RefBlocks(NamedTuple):
     origin: np.ndarray       # [d] grid origin
     cell_size: float
     dims: Tuple[int, ...]    # grid extent in cells (bounds checks only)
+    counts: np.ndarray = None  # [Cn+1] valid points per slot (sentinel: 0)
 
 
 class QueryBlocks(NamedTuple):
@@ -56,6 +57,10 @@ class QueryBlocks(NamedTuple):
 
     rows: jnp.ndarray        # [Cq, Q] query row indices (-1 = pad)
     nb_slots: jnp.ndarray    # [Cq, 3^d] slots into RefBlocks.blocks
+    # host-side int: actual (query, candidate) pairs swept per iteration —
+    # the analogue of libnabo's touch statistics (reference:
+    # MatchersImpl.cpp:86-101 accumulates per-query visit counts)
+    touched: int = 0
 
 
 def _linearize(coords: np.ndarray, dims: Tuple[int, ...]) -> np.ndarray:
@@ -81,6 +86,7 @@ def build_ref_blocks(points: np.ndarray, mask: np.ndarray,
             origin=np.zeros(d),
             cell_size=float(cell_size),
             dims=(1,) * d,
+            counts=np.zeros(1, np.int64),
         )
     vp = pts[valid]
     origin = vp.min(axis=0)
@@ -114,6 +120,7 @@ def build_ref_blocks(points: np.ndarray, mask: np.ndarray,
         origin=origin,
         cell_size=float(cell_size),
         dims=dims,
+        counts=np.concatenate([counts, [0]]),
     )
 
 
@@ -181,9 +188,19 @@ def assign_query_blocks(query: np.ndarray, mask: np.ndarray,
 
     full_slots = np.full((Cq, slots.shape[1]), max(Cn, 0), np.int64)
     full_slots[: len(uq)] = slots
+    # touch statistics: every valid query in a cell sweeps that cell's
+    # candidate set (= Σ valid counts of its non-empty neighbor slots) —
+    # the reference accumulates the same per-query visit counts out of
+    # libnabo (reference: MatchersImpl.cpp:86-101)
+    if ref.counts is not None:
+        cand_per_cell = ref.counts[slots].sum(axis=1)     # [uq]
+        touched = int((cand_per_cell * counts).sum())
+    else:
+        touched = 0
     return QueryBlocks(
         rows=jnp.asarray(rows, jnp.int32),
         nb_slots=jnp.asarray(full_slots, jnp.int32),
+        touched=touched,
     )
 
 

@@ -20,6 +20,26 @@ import pytest
 
 DATA = "/root/reference/examples/data"
 
+# Two test tiers: `-m quick` (~2 min) for iteration, full suite for CI.
+# Heavy modules — full-pipeline goldens, app end-to-end sweeps, fuzzing,
+# batched/sharded loops — are `slow`; everything else is auto-marked
+# `quick`.
+_SLOW_MODULES = {
+    "test_golden",
+    "test_apps",
+    "test_fuzz",
+    "test_sharding",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES or "slow" in item.keywords:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def data_path():

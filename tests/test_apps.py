@@ -62,6 +62,58 @@ def test_eval_solution_protocol(small_cloud_files, valid_t_3d, tmp_path):
     assert s["registrations_per_s"] > 0
 
 
+def test_eval_solution_batched_agrees_with_sequential(
+        small_cloud_files, valid_t_3d, tmp_path):
+    """The pair-parallel sweep (one vmapped program per shape-bucketed
+    group — the reference's thread-per-core analogue,
+    eval_solution.cpp:125-131) must agree with the per-pair driver."""
+    from libpointmatcher_tpu.apps.eval_solution import (
+        evaluate_protocol,
+        summarize,
+    )
+
+    data_p, ref_p, root = small_cloud_files
+    proto = str(tmp_path / "protocol.csv")
+    gt = np.asarray(valid_t_3d)
+    header = "reading, reference, " + ", ".join(
+        f"gT{i}{j}" for i in range(4) for j in range(4)
+    )
+    row = f"{data_p}, {ref_p}, " + ", ".join(
+        str(v) for v in gt.reshape(-1)
+    )
+    with open(proto, "w") as f:
+        f.write(header + "\n" + "\n".join([row] * 5) + "\n")
+
+    config = str(tmp_path / "sol.yaml")
+    with open(config, "w") as f:
+        f.write(
+            "matcher:\n  KDTreeMatcher:\n    knn: 1\n"
+            "outlierFilters:\n  - TrimmedDistOutlierFilter:\n      ratio: 0.85\n"
+            "errorMinimizer:\n  PointToPointErrorMinimizer\n"
+            "transformationCheckers:\n"
+            "  - CounterTransformationChecker:\n      maxIterationCount: 60\n"
+            "  - DifferentialTransformationChecker:\n"
+            "      minDiffRotErr: 0.001\n      minDiffTransErr: 0.01\n"
+            "      smoothLength: 4\n"
+        )
+    batched = evaluate_protocol(proto, config, data_path=root, batch=4,
+                                verbose=False)
+    sequential = evaluate_protocol(proto, config, data_path=root, batch=1,
+                                   verbose=False)
+    assert len(batched) == len(sequential) == 5
+    for rb, rs in zip(batched, sequential):
+        assert rb["pair"] == rs["pair"]
+        assert rb["error"] is None and rs["error"] is None
+        # same clouds, same pipeline: both drivers must land on the same
+        # pose (RNG streams differ per driver, so compare poses not bits)
+        np.testing.assert_allclose(
+            np.asarray(rb["T"]), np.asarray(rs["T"]), atol=0.03
+        )
+        assert rb["trans_err"] < 0.15 and rb["rot_err"] < 0.15
+    s = summarize(batched)
+    assert s["pairs"] == 5 and s["failed"] == 0
+
+
 def test_icp_cli_main(small_cloud_files, tmp_path, monkeypatch):
     from libpointmatcher_tpu.apps import icp as icp_app
 

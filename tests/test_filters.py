@@ -475,3 +475,134 @@ def test_default_identity_yaml(data3d, ref3d):
     )
     T = icp(data3d, ref3d, seed=0)
     validate_3d(T)
+
+
+def test_gestalt_bin_stats_oracle():
+    """Pin the Gestalt descriptor content against an independent numpy
+    re-derivation of the reference's algorithm (Gestalt.cpp:440-540):
+    normal-oriented basis, 4x8 polar height bins, count-normalized means
+    AND variances, empty-outer-bin propagation keyed on mean == 0."""
+    rng = np.random.default_rng(42)
+    # positive coordinates + huge voxel -> exactly one occupied voxel,
+    # hence exactly one keypoint: the first point
+    pts = rng.uniform(1, 8, size=(400, 3)).astype(np.float32)
+    c = pm.PointCloud.from_numpy(pts)
+    out = apply(
+        "GestaltDataPointsFilter",
+        {"ratio": "0.999", "radius": "5", "vSizeX": "1000",
+         "vSizeY": "1000", "vSizeZ": "1000", "keepGestaltFeatures": "1",
+         "keepNormals": "1"},
+        c,
+    )
+    kp_pts, descs, _ = out.to_numpy()
+    assert len(kp_pts) == 1
+    kp = pts[0]
+    np.testing.assert_allclose(kp_pts[0], kp, atol=1e-6)
+
+    # numpy oracle
+    diff = pts - kp
+    nb = np.all(np.abs(diff) <= 5.0, axis=1) & np.any(diff != 0.0, axis=1)
+    nbp = pts[nb]
+    meanp = nbp.mean(axis=0)
+    C = (nbp - meanp).T @ (nbp - meanp)
+    w, v = np.linalg.eigh(C)
+    normal = v[:, 0]
+    nx = np.array([normal[0], normal[1], 0.0])
+    nx /= np.linalg.norm(nx)
+    up = np.array([0.0, 0.0, 1.0])
+    ny = np.cross(up, nx)
+    ny /= np.linalg.norm(ny)
+    basis = np.stack([nx, ny, up], axis=1)
+    warped = (nbp - kp) @ basis
+    heights = warped[:, 2]
+    radii = np.linalg.norm(warped[:, :2], axis=1)
+    angles = np.mod(np.arctan2(warped[:, 1], warped[:, 0]) + 2 * np.pi,
+                    2 * np.pi)
+    rbin = np.clip((radii / (5.0 / 4)).astype(int), 0, 3)
+    abin = np.clip((angles / (np.pi / 4)).astype(int), 0, 7)
+    gm = np.zeros((4, 8))
+    gv = np.zeros((4, 8))
+    cnt = np.zeros((4, 8))
+    for r_, a_, h_ in zip(rbin, abin, heights):
+        gm[r_, a_] += h_
+        cnt[r_, a_] += 1
+    gm = np.where(cnt > 0, gm / np.maximum(cnt, 1), 0.0)
+    for r_, a_, h_ in zip(rbin, abin, heights):
+        gv[r_, a_] += (h_ - gm[r_, a_]) ** 2
+    gv = np.where(cnt > 0, gv / np.maximum(cnt, 1), 0.0)
+    for radial in range(1, 4):
+        for ang in range(8):
+            if gm[radial, ang] == 0:
+                gm[radial, ang] = gm[radial - 1, ang]
+                gv[radial, ang] = gv[radial - 1, ang]
+
+    got_m = descs["gestaltMeans"][0].reshape(4, 8)
+    got_v = descs["gestaltVariances"][0].reshape(4, 8)
+    # normal sign is arbitrary; the basis flips angles by pi when nx flips.
+    # Compare against the oracle computed with BOTH signs and accept the
+    # matching one.
+    def oracle_for(sign):
+        nx2 = sign * nx
+        ny2 = np.cross(up, nx2)
+        ny2 /= np.linalg.norm(ny2)
+        b2 = np.stack([nx2, ny2, up], axis=1)
+        w2 = (nbp - kp) @ b2
+        h2 = w2[:, 2]
+        r2 = np.linalg.norm(w2[:, :2], axis=1)
+        a2 = np.mod(np.arctan2(w2[:, 1], w2[:, 0]) + 2 * np.pi, 2 * np.pi)
+        rb = np.clip((r2 / (5.0 / 4)).astype(int), 0, 3)
+        ab = np.clip((a2 / (np.pi / 4)).astype(int), 0, 7)
+        m = np.zeros((4, 8)); vv = np.zeros((4, 8)); ct = np.zeros((4, 8))
+        for r_, a_, h_ in zip(rb, ab, h2):
+            m[r_, a_] += h_; ct[r_, a_] += 1
+        m = np.where(ct > 0, m / np.maximum(ct, 1), 0.0)
+        for r_, a_, h_ in zip(rb, ab, h2):
+            vv[r_, a_] += (h_ - m[r_, a_]) ** 2
+        vv = np.where(ct > 0, vv / np.maximum(ct, 1), 0.0)
+        for radial in range(1, 4):
+            for ang in range(8):
+                if m[radial, ang] == 0:
+                    m[radial, ang] = m[radial - 1, ang]
+                    vv[radial, ang] = vv[radial - 1, ang]
+        return m, vv
+
+    best = None
+    for sign in (1.0, -1.0):
+        m, vv = oracle_for(sign)
+        err = np.abs(m - got_m).max() + np.abs(vv - got_v).max()
+        if best is None or err < best[0]:
+            best = (err, m, vv)
+    _, m, vv = best
+    np.testing.assert_allclose(got_m, m, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(got_v, vv, rtol=1e-3, atol=1e-4)
+    # warpedXYZ: zero-valued by documented design (scratch leakage in the
+    # reference makes its content unspecified; see filter docstring)
+    np.testing.assert_array_equal(descs["warpedXYZ"], 0.0)
+
+
+def test_elipsoids_descriptor_content():
+    """Elipsoids surfel outputs: unit normals, symmetric PSD covariances,
+    weights = box point counts, shapes from descending eigenvalues."""
+    c = random_cloud(n=800, scale=6.0, seed=21)
+    out = apply(
+        "ElipsoidsDataPointsFilter",
+        {"knn": "12", "samplingMethod": "1", "keepNormals": "1",
+         "keepCovariances": "1", "keepWeights": "1", "keepShapes": "1",
+         "keepMeans": "1", "keepEigenValues": "1"},
+        c,
+    )
+    _, descs, _ = out.to_numpy()
+    nrm = descs["normals"]
+    np.testing.assert_allclose(
+        np.linalg.norm(nrm, axis=1), 1.0, atol=1e-3
+    )
+    cov = descs["covariance"].reshape(-1, 3, 3)
+    np.testing.assert_allclose(cov, np.swapaxes(cov, 1, 2), atol=1e-3)
+    assert np.all(descs["weights"] >= 3)  # box split threshold knn>=3
+    shp = descs["shapes"]
+    # planarity = 2(l1-l2)/S, cylindricality = (l0-l1)/S, sphericality =
+    # 3 l2/S with descending eigenvalues: all nonneg, sum == planarity/2
+    # bookkeeping aside each bounded by [0, 2]
+    assert np.all(shp >= -1e-4) and np.all(shp <= 2 + 1e-4)
+    ev = descs["eigValues"]
+    assert np.all(ev[:, :-1] <= ev[:, 1:] + 1e-5)  # ascending convention

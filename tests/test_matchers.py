@@ -231,3 +231,40 @@ def test_block_grid_sequence_serving(data3d, ref3d):
     T2 = seq(data3d, seed=1)
     validate_3d(T2)
     assert len(seq._jit_cache) == n_compiled  # no recompile on repeat
+
+
+def test_touched_stat_differs_per_matcher(data3d, ref3d):
+    """PointCountTouched must reflect actual matcher work (reference:
+    MatchersImpl.cpp:86-101 counts real kd-tree visits): the dense sweep
+    charges N·M per iteration; the block matcher's whole point is touching
+    fewer pairs, and its stat must say so on the same registration."""
+    from libpointmatcher_tpu.inspectors import PerformanceInspector
+
+    def run(matcher):
+        icp = pm.ICP()
+        icp.set_default()
+        icp.matcher = matcher
+        icp.inspector = PerformanceInspector()
+        icp(data3d, ref3d, seed=0)
+        stats = icp.inspector.histograms
+        return (
+            stats["PointCountTouched"].values[-1],
+            stats["IterationsCount"].values[-1],
+            icp.prefiltered_reading_pts_count,
+            icp.prefiltered_reference_pts_count,
+        )
+
+    dense_touch, dense_iters, n_r, n_f = run(Reg.create("KDTreeMatcher"))
+    assert dense_touch == dense_iters * n_r * n_f
+
+    block_touch, block_iters, n_r2, n_f2 = run(
+        Reg.create("BlockGridMatcher",
+                   {"maxDist": "2.0", "motionBound": "2.0"})
+    )
+    # culling must touch strictly less than the dense sweep on this cloud
+    assert 0 < block_touch < block_iters * n_r2 * n_f2
+
+    cell_touch, cell_iters, n_r3, n_f3 = run(
+        Reg.create("CellGridMatcher", {"knn": "1", "maxDist": "2.0"})
+    )
+    assert 0 < cell_touch < cell_iters * n_r3 * n_f3
