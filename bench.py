@@ -7,11 +7,21 @@ Workload: the reference repo's own example pair (car_cloud400 → car_cloud401,
 ~25k points each) under the canonical default chain (random-sampled reading,
 sampling-surface-normal reference, exact NN matching, trimmed-dist outliers,
 point-to-plane minimizer, counter+differential stop — reference:
-ICP.cpp:100-113). The baseline is a faithful CPU implementation of the same
-pipeline built on scipy's cKDTree (the same kd-tree design libnabo uses),
-measured on this machine — the reference publishes no numbers in-tree
-(BASELINE.md), so the kd-tree CPU path is the stand-in for CPU
-libpointmatcher.
+ICP.cpp:100-113).
+
+Fairness contract (round-2 audit): the headline is the scan-to-map SERVING
+scenario — the reference's own amortization (ICP.cpp:463-508: the map is
+filtered and kd-tree-indexed once, many readings register against it) — so
+the CPU baseline is amortized the SAME way: its kd-tree build and normal
+estimation run once outside the timer, and the timed region is exactly the
+per-registration work (reading subsample + per-iteration kd-tree query,
+trim, point-to-plane solve) at the same iteration budget the TPU side
+measured. Both sides therefore pay per-registration costs only. The
+secondary one-shot numbers include ALL prep on BOTH sides. The baseline is
+scipy's cKDTree (C kd-tree, the same algorithmic family as libnabo,
+single-threaded like the reference's per-core engine); CPU libpointmatcher
+itself is not buildable here (no Eigen/Boost in the image) and publishes no
+numbers in-tree (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -32,32 +42,37 @@ def _load_clouds():
     return reading, reference
 
 
-def cpu_baseline_icp(reading_pts, ref_pts, iterations=15, seed=0):
-    """CPU stand-in for the reference: kd-tree NN (scipy cKDTree, same
-    algorithmic family as libnabo), trimmed-dist outliers, point-to-plane."""
+def cpu_prepare(ref_pts):
+    """Map-side prep, done ONCE (the reference's ICPSequence::setMap):
+    kd-tree build + knn=10 normal estimation."""
     from scipy.spatial import cKDTree
 
-    rng = np.random.default_rng(seed)
-    # default chain: reading random-sampled 0.75; reference normals via knn=10
-    keep = rng.random(len(reading_pts)) < 0.75
-    src = reading_pts[keep].astype(np.float64)
     ref = ref_pts.astype(np.float64)
-
-    t_start = time.perf_counter()
-    tree_n = cKDTree(ref)
-    _, nbr = tree_n.query(ref, k=10)
+    tree = cKDTree(ref)
+    _, nbr = tree.query(ref, k=10)
     nb = ref[nbr]  # [M,10,3]
     centered = nb - nb.mean(axis=1, keepdims=True)
     cov = np.einsum("mki,mkj->mij", centered, centered)
-    w, v = np.linalg.eigh(cov)
+    _, v = np.linalg.eigh(cov)
     normals = v[:, :, 0]
+    return tree, ref, normals
+
+
+def cpu_register(tree, ref, normals, reading_pts, iterations, seed=0):
+    """One registration at a fixed iteration budget: reading subsample +
+    the per-iteration query/trim/point-to-plane work. Matches the default
+    chain's per-registration path."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(seed)
+    keep = rng.random(len(reading_pts)) < 0.75
+    src = reading_pts[keep].astype(np.float64)
 
     T = np.eye(4)
-    tree = cKDTree(ref)
     for _ in range(iterations):
         cur = src @ T[:3, :3].T + T[:3, 3]
         d, idx = tree.query(cur, k=1)
-        lim = np.quantile(d, 0.75)
+        lim = np.quantile(d, 0.85)
         m = d <= lim
         p = cur[m]
         q = ref[idx[m]]
@@ -67,13 +82,11 @@ def cpu_baseline_icp(reading_pts, ref_pts, iterations=15, seed=0):
         A = F.T @ F
         b = -(F.T @ np.sum((p - q) * n, axis=1))
         x = np.linalg.lstsq(A, b, rcond=None)[0]
-        from scipy.spatial.transform import Rotation
-
         dT = np.eye(4)
         dT[:3, :3] = Rotation.from_rotvec(x[:3]).as_matrix()
         dT[:3, 3] = x[3:]
         T = dT @ T
-    return T, time.perf_counter() - t_start
+    return T
 
 
 def main():
@@ -98,7 +111,7 @@ def main():
     icp = pm.ICP()
     icp.set_default()
 
-    # ---- single-shot latency (one pair end to end, incl. all prep)
+    # ---- one-shot latency (one pair end to end, ALL prep included)
     T = icp(reading, reference, seed=0)  # warmup/compile
     np.asarray(T)
     runs = 3
@@ -111,9 +124,7 @@ def main():
     single_time = (time.perf_counter() - t0) / runs
     mean_iters = iters_total / runs
 
-    # ---- batched throughput: the production serving shape (the reference's
-    # eval harness runs one registration per CPU core; here the whole loop is
-    # vmapped over pairs on one chip)
+    # ---- batched one-shot throughput (pair-parallel, prep included)
     batch = 4
     readings = [reading] * batch
     references = [reference] * batch
@@ -125,9 +136,9 @@ def main():
     batch_time = (time.perf_counter() - t0) / bruns
     throughput = batch / batch_time
 
-    # ---- scan-to-map serving throughput: the ICPSequence production shape
-    # (map prepped once — the reference's own amortization, ICP.cpp:463-508 —
-    # readings stream through the vmapped loop in batches)
+    # ---- HEADLINE: scan-to-map serving throughput (the ICPSequence
+    # production shape; map prepped once — reference: ICP.cpp:463-508 —
+    # readings stream through the vmapped fused loop in batches)
     from libpointmatcher_tpu.parallel import register_batch_to_map
 
     seq = pm.ICPSequence()
@@ -138,18 +149,32 @@ def main():
     register_batch_to_map(seq, scans, seed=0)  # warmup/compile
     t0 = time.perf_counter()
     mruns = 3
+    serve_iters = 0.0
     for i in range(mruns):
-        register_batch_to_map(seq, scans, seed=i + 1)
+        _, minfo = register_batch_to_map(seq, scans, seed=i + 1)
+        serve_iters += float(np.mean(minfo["iterations"]))
     serve_time = (time.perf_counter() - t0) / mruns
     serve_throughput = map_batch / serve_time
+    serve_iters /= mruns
 
-    # CPU baseline at the same iteration budget (kd-tree build amortized
-    # away, matching the serving scenario)
+    # ---- CPU baseline, amortized the same way: map prep outside the
+    # timer, per-registration work timed at the SAME iteration budget
     r_pts, _, _ = reading.to_numpy()
     f_pts, _, _ = reference.to_numpy()
-    _, cpu_time = cpu_baseline_icp(
-        r_pts, f_pts, iterations=max(int(round(mean_iters)), 1)
-    )
+    tree, ref, normals = cpu_prepare(f_pts)          # NOT timed (setMap)
+    budget = max(int(round(serve_iters)), 1)
+    cpu_register(tree, ref, normals, r_pts, 1, seed=99)  # warm numpy/scipy
+    cruns = 3
+    t0 = time.perf_counter()
+    for i in range(cruns):
+        cpu_register(tree, ref, normals, r_pts, budget, seed=i)
+    cpu_time = (time.perf_counter() - t0) / cruns
+
+    # one-shot CPU (all prep inside, like the TPU one-shot number)
+    t0 = time.perf_counter()
+    tree2, ref2, normals2 = cpu_prepare(f_pts)
+    cpu_register(tree2, ref2, normals2, r_pts, max(int(mean_iters), 1), seed=7)
+    cpu_single = time.perf_counter() - t0
 
     vs_baseline = cpu_time * serve_throughput
 
@@ -158,9 +183,12 @@ def main():
             {
                 "metric": f"scan-to-map registrations/s/chip ({backend}, "
                 f"car_cloud 25k pts, default point-to-plane chain, "
-                f"~{mean_iters:.0f} iters, batch {map_batch}; one-shot: "
-                f"{throughput:.2f}/s batched x{batch}, "
-                f"{single_time * 1e3:.0f} ms single)",
+                f"~{serve_iters:.0f} iters, batch {map_batch}; CPU baseline "
+                f"amortized identically: {cpu_time * 1e3:.0f} ms/reg at the "
+                f"same iteration budget; one-shot incl. all prep: "
+                f"{single_time * 1e3:.0f} ms vs CPU {cpu_single * 1e3:.0f} ms "
+                f"({cpu_single / single_time:.1f}x), batched x{batch}: "
+                f"{throughput:.2f}/s",
                 "value": round(serve_throughput, 3),
                 "unit": "registrations/s",
                 "vs_baseline": round(vs_baseline, 2),

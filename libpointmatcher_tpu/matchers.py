@@ -89,6 +89,15 @@ class Matcher(Parametrizable):
         ``lax.while_loop``."""
         return None
 
+    def prepare_loop_host(self, pts, mask):
+        """Numpy-level :meth:`prepare_loop` for batch serving: given host
+        positions/mask of one (pre-transformed) scan, return
+        ``(per_scan_aux, shared_aux)`` dicts of arrays — per-scan entries
+        are stacked/vmapped over the batch axis, shared entries (the
+        reference acceleration structure) are broadcast — or ``None`` when
+        the matcher needs no loop state. Default: no loop state."""
+        return None
+
     # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
     # each matcher reports how many (query, candidate) pairs one call
     # actually inspects; the engine accumulates it per iteration into
@@ -268,22 +277,24 @@ class CellGridMatcher(Matcher):
 
 @MatcherRegistrar.register
 class BlockGridMatcher(Matcher):
-    """Bounded-radius 1-NN via static cell blocks — the large-cloud matcher
-    built for the fused loop (extension beyond the reference registry; see
-    ops/cellblocks.py for the design).
+    """Bounded-radius 1-NN via the tile sweep — the large-cloud / serving
+    matcher built for the fused loop (extension beyond the reference
+    registry; see ops/tilesweep.py for the design and ops/cellblocks.py
+    for the earlier per-cell-padded variant it supersedes).
 
     Unlike :class:`CellGridMatcher` (per-point neighbor gathers, measured
-    random-gather-bound on TPU), this matcher does dense block sweeps with
-    shapes fixed per registration: the reference is cell-sorted at
-    ``init`` and queries are assigned to cells once at loop start via the
-    engine's :meth:`prepare_loop` hook. Exactness across the moving loop
-    relies on the cell edge being ``maxDist + motionBound``: as long as no
-    point moves farther than ``motionBound`` from its initial pose during
-    the registration, the 3^d neighborhood always covers the true
-    ``maxDist`` ball. Set ``motionBound`` to an upper bound on the expected
-    ICP correction (prior error), e.g. the BoundTransformationChecker
-    budget. Points with no neighbor inside ``maxDist`` get (+inf, -1) —
-    the same contract as ``KDTreeMatcher`` with ``maxDist``.
+    random-gather-bound on TPU), this matcher does dense tile sweeps with
+    shapes fixed per registration: the reference is cell-sorted into
+    8-row sub-blocks at ``init`` and queries are tiled once at loop start
+    via the engine's :meth:`prepare_loop` hook. Exactness across the
+    moving loop relies on the cell edge being ``maxDist + motionBound``:
+    as long as no point moves farther than ``motionBound`` from its
+    initial pose during the registration, the 3^d neighborhood always
+    covers the true ``maxDist`` ball. Set ``motionBound`` to an upper
+    bound on the expected ICP correction (prior error), e.g. the
+    BoundTransformationChecker budget. Points with no neighbor inside
+    ``maxDist`` get (+inf, -1) — the same contract as ``KDTreeMatcher``
+    with ``maxDist`` (reference: MatchersImpl.cpp:78-150).
     """
 
     PARAMS = (
@@ -310,13 +321,13 @@ class BlockGridMatcher(Matcher):
         return float(self.maxDist) + float(self.motionBound)
 
     def init(self, reference: PointCloud) -> None:
-        from .ops.cellblocks import build_ref_blocks
+        from .ops.tilesweep import build_sub_blocks
 
         super().init(reference)
         import jax
 
         pts, mask = jax.device_get((reference.points, reference.mask))
-        self._blocks = build_ref_blocks(pts, mask, self._cell_size)
+        self._blocks = build_sub_blocks(pts, mask, self._cell_size)
         self._ref_shape = tuple(reference.points.shape)
         BlockGridMatcher._init_counter += 1
         self.cache_token = BlockGridMatcher._init_counter
@@ -328,21 +339,28 @@ class BlockGridMatcher(Matcher):
         import jax
 
         pts, mask = jax.device_get((reading.points, reading.mask))
-        from .ops.cellblocks import assign_query_blocks
+        out = self.prepare_loop_host(pts, mask)
+        if out is None:
+            return None
+        per_scan, shared = out
+        return {**per_scan, **shared}
 
-        qb = assign_query_blocks(pts, mask, self._blocks)
+    def prepare_loop_host(self, pts, mask):
+        if self._blocks is None:
+            return None
+        from .ops.tilesweep import assign_tiles
+
+        ta = assign_tiles(pts, mask, self._blocks)
         # actual candidate pairs this assignment sweeps per iteration — the
-        # whole point of the block sweep is touching fewer pairs than N·M,
+        # whole point of the tile sweep is touching fewer pairs than N·M,
         # and the stat must say so (reference: MatchersImpl.cpp:86-101)
-        self._loop_touched = qb.touched
+        self._loop_touched = ta.touched
         # everything the traced path needs travels as jit arguments — no
         # arrays baked into the program as constants
-        return {
-            "rows": qb.rows,
-            "nb_slots": qb.nb_slots,
-            "blocks": self._blocks.blocks,
-            "block_ids": self._blocks.block_ids,
-        }
+        return (
+            {"q_rows": ta.q_rows, "blocks": ta.blocks},
+            {"sub_pts": self._blocks.pts, "sub_ids": self._blocks.ids},
+        )
 
     def touched_per_iteration(self, reading, reference) -> int:
         if self._loop_touched is not None:
@@ -353,12 +371,11 @@ class BlockGridMatcher(Matcher):
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:
         if aux is not None and tuple(ref.points.shape) == self._ref_shape:
-            from .ops.cellblocks import QueryBlocks, block_nn1
+            from .ops.tilesweep import tile_nn1
 
-            qb = QueryBlocks(rows=aux["rows"], nb_slots=aux["nb_slots"])
-            d1, i1 = block_nn1(
-                reading.points, qb, aux["blocks"], aux["block_ids"],
-                float(self.maxDist),
+            d1, i1 = tile_nn1(
+                reading.points, reading.mask, aux["q_rows"], aux["blocks"],
+                aux["sub_pts"], aux["sub_ids"], float(self.maxDist),
             )
             return Matches(d1[:, None], i1[:, None])
         # pure fallback (engine paths without prepare_loop: vmapped batch,

@@ -278,12 +278,23 @@ def knn1_pallas_mxu(query, query_mask, ref, ref_mask,
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_m"))
 def knn1_pallas(query, query_mask, ref, ref_mask,
-                tile_q: int = 1024, tile_m: int = 2048):
+                tile_q: int = 1024, tile_m: int = 0):
     """Exact 1-NN: ``(dists2 [N], ids [N])`` with (+inf, -1) for invalid
     queries / no valid reference. Equivalent to
-    ``knn_brute_force(..., k=1)`` squeezed."""
+    ``knn_brute_force(..., k=1)`` squeezed.
+
+    ``tile_m = 0`` picks the reference tile adaptively: the sweep pays for
+    every padded reference row in every iteration, so the tile is chosen
+    to minimize ``m_pad`` (e.g. a 12800-row map tiles to 12800 with
+    tile_m=1024 but to 14336 — +12% work — with 2048; throughput per cell
+    is flat across these tile sizes, tools/knn_micro.py)."""
     n, d = query.shape
     m = ref.shape[0]
+    if tile_m == 0:
+        tile_m = min(
+            (2048, 1024, 512),
+            key=lambda t: (((m + t - 1) // t) * t, -t),
+        )
     n_pad = ((n + tile_q - 1) // tile_q) * tile_q
     m_pad = ((m + tile_m - 1) // tile_m) * tile_m
 

@@ -4,5 +4,6 @@ from .sharding import (  # noqa: F401
     replicate_cloud,
     sharded_knn,
     sharded_block_nn1,
+    sharded_tile_nn1,
 )
 from .batch import register_batch, register_batch_to_map  # noqa: F401

@@ -176,6 +176,8 @@ def register_batch_to_map(
     T_inits: Optional[Sequence] = None,
     seed: int = 0,
     compact_rows="auto",
+    mesh=None,
+    map_axis: str = "points",
 ) -> Tuple[np.ndarray, dict]:
     """Batched scan-to-map serving: register many readings against the
     persistent map of an ``ICPSequence`` at once.
@@ -208,20 +210,39 @@ def register_batch_to_map(
     as a signal to pin a larger cap, not as a benign subsample)."""
     assert seq.has_map(), "set_map first"
     reference = seq.get_prefiltered_internal_map()
+    if mesh is not None:
+        # map-sharded serving: the map's point axis is laid out across the
+        # mesh (set_map's fine 512-granule bucket divides any ≤128-device
+        # mesh without re-compaction, so row ids — and with them the tile
+        # matcher's sub-block tables — stay valid); XLA inserts the ICI
+        # collectives the sharded sweep and minimizer gathers demand
+        from .sharding import shard_cloud
+
+        reference = shard_cloud(reference, mesh, map_axis)
     b = len(readings)
     dim = readings[0].dim
     Trm = jnp.asarray(seq._T_refIn_refMean)
     if T_inits is None:
         T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
 
+    has_aux = (
+        type(seq.matcher).prepare_loop_host is not Matcher.prepare_loop_host
+    )
     fused = (
         chain_is_traceable(seq.reading_filters)
         and not seq.reading_step_filters
         and not seq.inspector.needs_iteration_data
-        and type(seq.matcher).prepare_loop is Matcher.prepare_loop
+        and (has_aux
+             or type(seq.matcher).prepare_loop is Matcher.prepare_loop)
     )
     if not fused:
-        return _register_batch_to_map_host(seq, readings, T_inits, seed)
+        return _register_batch_to_map_host(
+            seq, readings, T_inits, seed, reference
+        )
+    if has_aux:
+        return _register_batch_to_map_aux(
+            seq, readings, T_inits, seed, reference
+        )
 
     batch_reading = _stack_clouds_padded(readings)
     T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
@@ -353,12 +374,149 @@ def _build_serve_runner(seq, b: int, cap):
     return jax.jit(serve, static_argnames=())
 
 
-def _register_batch_to_map_host(seq, readings, T_inits, seed):
+def _host_rows(cloud: PointCloud):
+    """Raw padded host rows (points, mask) of a cloud — row indices match
+    the device layout (to_numpy() compacts, which would not)."""
+    if cloud._host_cache is not None:
+        pts_h, mask_h, _, _ = cloud._host_cache
+        return np.asarray(pts_h), np.asarray(mask_h)
+    pts, mask = jax.device_get((cloud.points, cloud.mask))
+    return np.asarray(pts), np.asarray(mask)
+
+
+def _register_batch_to_map_aux(seq, readings, T_inits, seed,
+                               reference=None):
+    """Fused serving for matchers with per-registration loop state
+    (BlockGridMatcher's tile assignment): the assignment is built on the
+    host from each scan's pre-transformed raw positions — the exact data
+    the in-program loop starts from, since filters only shrink the mask
+    and the tile sweep re-masks by the live mask every iteration — then
+    stacked and vmapped alongside the loop. One device program per batch,
+    one host readback."""
+    if reference is None:
+        reference = seq.get_prefiltered_internal_map()
+    b = len(readings)
+    dim = readings[0].dim
+    Trm = jnp.asarray(seq._T_refIn_refMean)
+    Trm_h = np.asarray(jax.device_get(Trm), np.float64)
+    Trm_inv_h = np.linalg.inv(Trm_h)
+
+    batch_reading = _stack_clouds_padded(readings)
+    T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
+    rows = batch_reading.points.shape[-2]
+
+    # host tile assignments from initial poses (motionBound covers the
+    # loop's corrections; see BlockGridMatcher)
+    pers = []
+    shared = None
+    for i, rd in enumerate(readings):
+        pts, mask = _host_rows(rd)
+        T_rmd = Trm_inv_h @ np.asarray(T_inits[i], np.float64)
+        moved = pts @ T_rmd[:dim, :dim].T + T_rmd[:dim, dim]
+        out = seq.matcher.prepare_loop_host(moved, mask)
+        per, shared = out
+        pers.append(per)
+    # align per-scan aux shapes (tile/block counts differ per scan): pad
+    # q_rows with -1, block lists with the empty sentinel slot
+    sentinel = int(shared["sub_pts"].shape[0]) - 1
+    max_t = max(int(p["q_rows"].shape[0]) for p in pers)
+    max_b = max(int(p["blocks"].shape[1]) for p in pers)
+
+    def pad_per(p):
+        q = p["q_rows"]
+        blk = p["blocks"]
+        q = jnp.pad(q, ((0, max_t - q.shape[0]), (0, 0)),
+                    constant_values=-1)
+        blk = jnp.pad(
+            blk, ((0, max_t - blk.shape[0]), (0, max_b - blk.shape[1])),
+            constant_values=sentinel,
+        )
+        return {"q_rows": q, "blocks": blk}
+
+    pers = [pad_per(p) for p in pers]
+    per_aux = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *pers
+    )
+
+    cache_key = (
+        "serve_aux", b, rows, reference.num_points, dim,
+        max_t, max_b,
+        batch_reading.descriptor_labels(),
+        reference.descriptor_labels(),
+        seq._config_fingerprint(),
+        tuple(
+            (type(f).__name__, tuple(sorted(f.parameters.items())))
+            for f in seq.reading_filters
+        ),
+    )
+    runner = seq._jit_cache.get(cache_key)
+    if runner is None:
+        runner = _build_serve_runner_aux(seq, b)
+        seq._jit_cache[cache_key] = runner
+
+    T_out, iters, codes, stats = runner(
+        batch_reading, T_inits_b, Trm, reference, jnp.int32(seed),
+        per_aux, shared,
+    )
+    T_out, iters, codes, pur, wpur, res = jax.device_get(
+        (T_out, iters, codes, stats.point_used_ratio,
+         stats.weighted_point_used_ratio, stats.residual)
+    )
+    info = {
+        "iterations": np.asarray(iters),
+        "codes": np.asarray(codes),
+        "point_used_ratio": np.asarray(pur),
+        "weighted_point_used_ratio": np.asarray(wpur),
+        "residual": np.asarray(res),
+        "compact_overflow": np.zeros(b, bool),  # no serve compaction here
+    }
+    return np.asarray(T_out), info
+
+
+def _build_serve_runner_aux(seq, b: int):
+    """One-program fused serving runner with per-scan matcher loop state
+    (see _register_batch_to_map_aux). No in-program compaction: the tile
+    assignment's row indices must keep addressing the raw padded rows, and
+    the sweep's cost scales with assigned tiles, not rows."""
+    from ..icp import _apply_transform
+
+    reading_filters = tuple(seq.reading_filters)
+    transformations = tuple(seq.transformations)
+    run_loop = seq.make_loop_runner()
+
+    def serve(batch_reading, T_inits_b, Trm, reference, seed, per_aux,
+              shared_aux):
+        key = jax.random.PRNGKey(seed)
+        Trm_inv = se3.inverse(Trm)
+
+        def prep(reading, T_init, i):
+            kr = jax.random.fold_in(key, i)
+            reading = apply_filter_chain_traced(reading_filters, reading, kr)
+            T_rmd = Trm_inv @ T_init
+            return _apply_transform(transformations, reading, T_rmd), T_rmd
+
+        prepped, T_rmd_b = jax.vmap(prep, in_axes=(0, 0, 0))(
+            batch_reading, T_inits_b, jnp.arange(b)
+        )
+
+        def loop_one(reading, pa):
+            return run_loop(reading, reference, {**pa, **shared_aux})
+
+        T_iter, iters, code, stats = jax.vmap(loop_one)(prepped, per_aux)
+        T_out = jnp.einsum("ij,bjk,bkl->bil", Trm, T_iter, T_rmd_b)
+        return T_out, iters, code, stats
+
+    return jax.jit(serve)
+
+
+def _register_batch_to_map_host(seq, readings, T_inits, seed,
+                                reference=None):
     """Per-scan host prep path (host-stateful filters, iteration-dumping
     inspectors, matchers with per-registration loop state)."""
     from ..icp import _apply_transform
 
-    reference = seq.get_prefiltered_internal_map()
+    if reference is None:
+        reference = seq.get_prefiltered_internal_map()
     b = len(readings)
     key = jax.random.PRNGKey(seed)
     Trm = seq._T_refIn_refMean

@@ -35,7 +35,7 @@ from ..cloud import PointCloud
 from ..ops.knn import knn_brute_force
 
 __all__ = ["make_mesh", "shard_cloud", "replicate_cloud", "sharded_knn",
-           "sharded_block_nn1"]
+           "sharded_block_nn1", "sharded_tile_nn1"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "points") -> Mesh:
@@ -159,3 +159,42 @@ def sharded_block_nn1(points, qb_rows, qb_nb_slots, blocks, block_ids,
         )
 
     return run(points, qb_rows, qb_nb_slots, blocks, block_ids)
+
+
+def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
+                     max_dist: float, mesh: Mesh,
+                     axis_name: str = "points"):
+    """Bounded-radius 1-NN with the *query-tile* axis sharded over the mesh
+    (the multi-chip form of ``ops.tilesweep.tile_nn1``).
+
+    Each device sweeps its slice of query tiles against the replicated
+    sub-block table. Query rows are owned by exactly one tile, so each
+    shard's [N] outputs are disjoint (+inf / -1 elsewhere) and the merge is
+    one pmin/pmax pair over ICI — communication O(n_dev·N), independent of
+    reference size. Bit-identical to the single-device op.
+
+    ``q_rows.shape[0]`` (the tile axis, bucketed on a granule-8 ladder by
+    ``assign_tiles``) must divide the mesh size."""
+    from ..ops.tilesweep import tile_nn1
+
+    n_dev = mesh.shape[axis_name]
+    assert q_rows.shape[0] % n_dev == 0, (
+        f"tile axis {q_rows.shape[0]} must divide mesh {n_dev}"
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None), P(axis_name, None),
+                  P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(pts, qm, rows, blk, spts, sids):
+        ld, li = tile_nn1(pts, qm, rows, blk, spts, sids, max_dist)
+        return (
+            jax.lax.pmin(ld, axis_name),
+            jax.lax.pmax(li, axis_name),
+        )
+
+    return run(points, qmask, q_rows, blocks, sub_pts, sub_ids)

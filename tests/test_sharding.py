@@ -255,3 +255,71 @@ def test_register_batch_to_map_host_fallback(data3d, ref3d):
     )
     T_b, info = register_batch_to_map(seq, [data3d], seed=3)
     validate_3d(T_b[0])
+
+
+def test_register_batch_to_map_block_matcher(data3d, ref3d):
+    """Serving with the tile-sweep BlockGridMatcher: per-scan loop state
+    (tile assignment) built on host, stacked and vmapped with the fused
+    loop — must agree with dense-matcher serving on the same scans."""
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+    from libpointmatcher_tpu.matchers import MatcherRegistrar
+    from tests.conftest import validate_3d
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(ref3d)
+    T_dense, _ = register_batch_to_map(seq, [data3d, data3d], seed=42)
+
+    seq2 = pm.ICPSequence()
+    seq2.set_default()
+    seq2.matcher = MatcherRegistrar.create(
+        "BlockGridMatcher", {"maxDist": "2.0", "motionBound": "2.0"}
+    )
+    seq2.set_map(ref3d)
+    T_blk, info = register_batch_to_map(seq2, [data3d, data3d], seed=42)
+    assert np.all(info["codes"] <= 1)
+    for b in range(2):
+        validate_3d(T_blk[b])
+        # same pipeline modulo the maxDist cut on far pairs (rejected by
+        # the trimmed filter in the dense run anyway): same pose
+        np.testing.assert_allclose(T_blk[b], T_dense[b], atol=0.02)
+
+
+def test_sharded_tile_nn1_matches_single_device(mesh):
+    """Query-tile-sharded bounded 1-NN == the single-device tile sweep."""
+    from libpointmatcher_tpu.ops.tilesweep import (
+        assign_tiles, build_sub_blocks, tile_nn1,
+    )
+    from libpointmatcher_tpu.parallel import sharded_tile_nn1
+
+    rng = np.random.default_rng(5)
+    q = rng.uniform(-4, 4, size=(700, 3)).astype(np.float32)
+    r = rng.uniform(-4, 4, size=(900, 3)).astype(np.float32)
+    qm = np.ones(700, bool)
+    qm[::11] = False
+    rm = np.ones(900, bool)
+    rm[::9] = False
+    sub = build_sub_blocks(r, rm, cell_size=0.5)
+    ta = assign_tiles(q, qm, sub, tile_q=64)
+    assert ta.q_rows.shape[0] % 8 == 0  # tile ladder divides the mesh
+
+    d1, i1 = tile_nn1(q, qm, ta.q_rows, ta.blocks, sub.pts, sub.ids, 0.5)
+    d2, i2 = sharded_tile_nn1(
+        q, qm, ta.q_rows, ta.blocks, sub.pts, sub.ids, 0.5, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d1), rtol=1e-6, atol=1e-7
+    )
+    # and both agree with brute force within the radius
+    from libpointmatcher_tpu.ops.knn import knn_brute_force
+
+    bd, bi = knn_brute_force(q, qm, r, rm, k=1)
+    bd = np.asarray(bd)[:, 0]
+    bi = np.asarray(bi)[:, 0]
+    cut = bd <= 0.25
+    f = np.isfinite(np.asarray(d1))
+    assert np.array_equal(f, cut & qm)
+    # the scan path's ‖q‖²+‖r‖²−2q·r form rounds ~1e-4-relative on small
+    # distances; the tile sweep's difference form is the accurate one
+    np.testing.assert_allclose(np.asarray(d1)[f], bd[f], rtol=1e-3, atol=1e-5)
