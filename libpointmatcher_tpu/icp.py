@@ -41,7 +41,12 @@ from .checkers import (
 )
 from .cloud import PointCloud
 from .errors import ConvergenceError
-from .filters.base import DataPointsFilter, apply_filter_chain
+from .filters.base import (
+    DataPointsFilter,
+    apply_filter_chain,
+    apply_filter_chain_traced,
+    chain_is_traceable,
+)
 from .inspectors import Inspector, NullInspector
 from .loggers import log_info, log_warning
 from .matchers import Matcher
@@ -72,9 +77,12 @@ class ICPChainBase:
         self.checkers: List[TransformationChecker] = []
         self.inspector: Inspector = NullInspector()
         self.transformations: List[Transformation] = [RigidTransformation()]
-        # introspection parity (reference: ICP.cpp:169-188)
-        self.prefiltered_reading_pts_count = 0
-        self.prefiltered_reference_pts_count = 0
+        # introspection parity (reference: ICP.cpp:169-188). Stored as the
+        # cloud itself and counted lazily on access: each count is a
+        # host↔device sync (~25 ms through the tunnel) that one-shot
+        # latency must not pay unless somebody asks.
+        self._prefiltered_reading = 0
+        self._prefiltered_reference = 0
         self.max_num_iterations_reached = False
         self.last_stats: Optional[MinimizerStats] = None
         self.last_iteration_count = 0
@@ -158,6 +166,24 @@ class ICPChainBase:
             )
         if self.inspector is None:
             raise RuntimeError("You must setup an inspector before running ICP")
+
+    @property
+    def prefiltered_reading_pts_count(self) -> int:
+        v = self._prefiltered_reading
+        return v.count_host() if isinstance(v, PointCloud) else int(v)
+
+    @prefiltered_reading_pts_count.setter
+    def prefiltered_reading_pts_count(self, v):
+        self._prefiltered_reading = v
+
+    @property
+    def prefiltered_reference_pts_count(self) -> int:
+        v = self._prefiltered_reference
+        return v.count_host() if isinstance(v, PointCloud) else int(v)
+
+    @prefiltered_reference_pts_count.setter
+    def prefiltered_reference_pts_count(self, v):
+        self._prefiltered_reference = v
 
     def get_prefiltered_reading_pts_count(self) -> int:
         return self.prefiltered_reading_pts_count
@@ -261,7 +287,8 @@ class ICP(ICPChainBase):
             )
 
         key = jax.random.PRNGKey(seed)
-        ref_in_count = reference.count_host()
+        wants_stats = self.inspector.wants_stats
+        ref_in_count = reference.count_host() if wants_stats else 0
         reference = apply_filter_chain(
             self.reference_filters, reference, jax.random.fold_in(key, 1)
         )
@@ -270,12 +297,15 @@ class ICP(ICPChainBase):
         reference, T_refIn_refMean = _center_cloud(reference)
         self.matcher.init(reference)
 
-        self.inspector.add_stat(
-            "ReferencePreprocessingDuration", time.perf_counter() - t0
-        )
-        self.inspector.add_stat("ReferenceInPointCount", ref_in_count)
-        self.inspector.add_stat("ReferencePointCount", reference.count_host())
-        self.prefiltered_reference_pts_count = reference.count_host()
+        if wants_stats:
+            self.inspector.add_stat(
+                "ReferencePreprocessingDuration", time.perf_counter() - t0
+            )
+            self.inspector.add_stat("ReferenceInPointCount", ref_in_count)
+            self.inspector.add_stat(
+                "ReferencePointCount", reference.count_host()
+            )
+        self.prefiltered_reference_pts_count = reference  # counted lazily
 
         return self.compute_with_transformed_reference(
             reading, reference, T_refIn_refMean, T_init, key
@@ -291,54 +321,104 @@ class ICP(ICPChainBase):
         if key is None:
             key = jax.random.PRNGKey(0)
         t0 = time.perf_counter()
-        read_in_count = reading_in.count_host()
-        reading = apply_filter_chain(
-            self.reading_filters, reading_in, jax.random.fold_in(key, 2)
-        )
+        wants_stats = self.inspector.wants_stats
         T_refMean_dataIn = se3.inverse(jnp.asarray(T_refIn_refMean)) @ T_init
-        reading = _apply_transform(self.transformations, reading, T_refMean_dataIn)
-
-        self.inspector.add_stat(
-            "ReadingPreprocessingDuration", time.perf_counter() - t0
-        )
-        self.inspector.add_stat("ReadingInPointCount", read_in_count)
-        self.inspector.add_stat("ReadingPointCount", reading.count_host())
-        self.prefiltered_reading_pts_count = reading.count_host()
-        t_loop = time.perf_counter()
 
         fused = (
             not self.reading_step_filters
             and not self.inspector.needs_iteration_data
         )
-        # per-registration matcher setup (e.g. BlockGridMatcher's static
-        # query-cell assignment); None for matchers that need none. Skipped
-        # under step filters: those change which points are live each
-        # iteration, voiding a loop-start assignment.
-        matcher_aux = (
-            self.matcher.prepare_loop(reading) if fused else None
-        )
-        if fused:
-            T_iter, iters, code, stats = self._run_fused(
-                reading, reference, jax.random.fold_in(key, 3), matcher_aux
+        # One-program one-shot: when the reading chain is traceable and the
+        # matcher has no host-side loop prep, the filter chain, the
+        # pre-transform and the whole fixed-point loop fuse into a single
+        # jitted program — the reading-side host compaction sync (~25 ms
+        # through the tunnel) disappears; the loop pays the raw padded row
+        # count instead, which is cheaper than one round trip. Skipped for
+        # stat-recording inspectors (they want host point counts).
+        traced_prep = (
+            fused
+            and not wants_stats
+            and chain_is_traceable(self.reading_filters)
+            and type(self.matcher).prepare_loop is Matcher.prepare_loop
+            # the noise-aware overlap path below needs the *filtered*
+            # reading on the host — keep the host prep when sensor-noise
+            # descriptors are present or produced
+            and not reading_in.has_descriptor("simpleSensorNoise")
+            and not any(
+                type(f).__name__ == "SimpleSensorNoiseDataPointsFilter"
+                for f in self.reading_filters
             )
+        )
+        if traced_prep:
+            reading = reading_in
+            T_iter, iters, code, stats, read_count = self._run_fused_prep(
+                reading_in, reference, T_refMean_dataIn,
+                jax.random.fold_in(key, 2), jax.random.fold_in(key, 3),
+            )
+            matcher_aux = None
         else:
-            T_iter, iters, code, stats = self._run_stepped(
-                reading, reference, jax.random.fold_in(key, 3)
+            read_in_count = reading_in.count_host() if wants_stats else 0
+            reading = apply_filter_chain(
+                self.reading_filters, reading_in, jax.random.fold_in(key, 2)
+            )
+            reading = _apply_transform(
+                self.transformations, reading, T_refMean_dataIn
             )
 
+            if wants_stats:
+                self.inspector.add_stat(
+                    "ReadingPreprocessingDuration", time.perf_counter() - t0
+                )
+                self.inspector.add_stat("ReadingInPointCount", read_in_count)
+                self.inspector.add_stat(
+                    "ReadingPointCount", reading.count_host()
+                )
+            read_count = None
+        t_loop = time.perf_counter()
+
+        if not traced_prep:
+            # per-registration matcher setup (e.g. BlockGridMatcher's
+            # static tile assignment); None for matchers that need none.
+            # Skipped under step filters: those change which points are
+            # live each iteration, voiding a loop-start assignment.
+            matcher_aux = (
+                self.matcher.prepare_loop(reading) if fused else None
+            )
+            if fused:
+                T_iter, iters, code, stats = self._run_fused(
+                    reading, reference, jax.random.fold_in(key, 3),
+                    matcher_aux,
+                )
+            else:
+                T_iter, iters, code, stats = self._run_stepped(
+                    reading, reference, jax.random.fold_in(key, 3)
+                )
+
         # one synchronized pull for everything the host needs
-        iters, code, stats = jax.device_get((iters, code, stats))
+        if read_count is not None:
+            iters, code, stats, read_count = jax.device_get(
+                (iters, code, stats, read_count)
+            )
+            self.prefiltered_reading_pts_count = int(read_count)
+        else:
+            iters, code, stats = jax.device_get((iters, code, stats))
+            self.prefiltered_reading_pts_count = reading  # counted lazily
         code = int(code)
         self.max_num_iterations_reached = code == CODE_MAX_ITER
         self.last_iteration_count = int(iters)
         self.last_stats = stats
-        if fused:
+        if fused and wants_stats:
             # per-matcher touch statistics (reference: MatchersImpl.cpp:86-101
             # accumulates actual kd-tree visit counts): the dense sweep
-            # reports N·M, culling matchers their real candidate counts
+            # reports N·M, culling matchers their real candidate counts.
+            # Only computed when an inspector records it — the dense count
+            # costs host syncs. The public get_visit_count() contract is
+            # unchanged: the engine resets it to 0 after reporting.
             self.matcher.visit_count += (
                 self.last_iteration_count
-                * self.matcher.touched_per_iteration(reading, reference)
+                * self.matcher.touched_per_iteration(
+                    reading if not traced_prep else reading_in, reference
+                )
             )
         if code == CODE_NAN_ERROR:
             raise ConvergenceError("abs rotation/translation norm not a number")
@@ -559,6 +639,46 @@ class ICP(ICPChainBase):
             return T, iters, code, stats
 
         return run_loop
+
+    def _run_fused_prep(self, reading_in, reference, T_refMean_dataIn,
+                        prep_key, loop_key):
+        """One-shot single-program path: traceable reading filters, the
+        pre-transform and the full fixed-point loop in one jit (see
+        compute_with_transformed_reference). Returns the loop outputs plus
+        the filtered reading's valid count (rides the same readback)."""
+        cache_key = (
+            "fused_prep",
+            reading_in.num_points,
+            reference.num_points,
+            reading_in.dim,
+            reading_in.descriptor_labels(),
+            reference.descriptor_labels(),
+            self._config_fingerprint(),
+            tuple(
+                (type(f).__name__, tuple(sorted(f.parameters.items())))
+                for f in self.reading_filters
+            ),
+        )
+        runner = self._jit_cache.get(cache_key)
+        if runner is None:
+            reading_filters = tuple(self.reading_filters)
+            transformations = tuple(self.transformations)
+            run_loop = self.make_loop_runner()
+
+            def full(reading_in, reference, T_rmd, prep_key, loop_key):
+                reading = apply_filter_chain_traced(
+                    reading_filters, reading_in, prep_key
+                )
+                count = reading.count()
+                reading = _apply_transform(transformations, reading, T_rmd)
+                T, iters, code, stats = run_loop(reading, reference, None)
+                return T, iters, code, stats, count
+
+            runner = jax.jit(full)
+            self._jit_cache[cache_key] = runner
+        return runner(
+            reading_in, reference, T_refMean_dataIn, prep_key, loop_key
+        )
 
     def _run_fused(self, reading, reference, key, matcher_aux=None):
         aux_shapes = (

@@ -38,6 +38,12 @@ class Inspector(Parametrizable):
     #: (forces the stepped engine path).
     needs_iteration_data: bool = False
 
+    #: True if add_stat values are recorded. The engine consults this
+    #: before *computing* stat values: several (point counts, touch
+    #: statistics) cost a host↔device sync each (~25 ms through the
+    #: tunnel), which would dominate one-shot latency just to feed a no-op.
+    wants_stats: bool = True
+
     def init(self) -> None:
         pass
 
@@ -55,6 +61,8 @@ class Inspector(Parametrizable):
 @InspectorRegistrar.register
 class NullInspector(Inspector):
     """Does nothing (reference: Inspector.cpp)."""
+
+    wants_stats = False
 
 
 @InspectorRegistrar.register

@@ -7,8 +7,20 @@ Capability parity with the reference matcher layer
 - ``KDTreeMatcher``          — the reference wraps a libnabo kd-tree; here the
   same name (so reference YAML runs unchanged) is served by the exact tiled
   brute-force sweep in :mod:`..ops.knn`, which is how nearest-neighbor search
-  maps to the MXU. ``searchType``/``epsilon`` are accepted for config parity;
+  maps to the TPU. ``searchType``/``epsilon`` are accepted for config parity;
   search is always exact.
+
+``epsilon`` semantics note (reference: MatchersImpl.h:85, libnabo's
+approximate-search knob: return a neighbor within (1+ε) of the true NN).
+On TPU the exact dense sweep IS the fast path at registration densities —
+there is nothing for ε to trade away (the sweep inspects every pair
+regardless; an ε-early-exit has no vector-unit analogue). The reference's
+actual use of ε is bounding work on big clouds; this framework's equivalent
+knob is :class:`BlockGridMatcher`'s bounded search radius (``maxDist`` +
+``motionBound``), which bounds work geometrically while staying EXACT
+within the radius — strictly stronger than ε's (1+ε)-approximate contract.
+Measured crossover: tools/large_knn_bench.py (dense exact vs tile sweep at
+10^5–10^6 points; numbers in ROADMAP.md).
 - ``KDTreeVarDistMatcher``   — per-point match radius from a named descriptor
   (MatchersImpl.cpp:132-150).
 
@@ -345,21 +357,26 @@ class BlockGridMatcher(Matcher):
         per_scan, shared = out
         return {**per_scan, **shared}
 
-    def prepare_loop_host(self, pts, mask):
+    def prepare_loop_host(self, pts, mask, pad_tiles_to=0, pad_blocks_to=0):
         if self._blocks is None:
             return None
-        from .ops.tilesweep import assign_tiles
+        from .ops.tilesweep import assign_tiles, gather_candidates
 
-        ta = assign_tiles(pts, mask, self._blocks)
+        ta = assign_tiles(pts, mask, self._blocks,
+                          pad_tiles_to=pad_tiles_to,
+                          pad_blocks_to=pad_blocks_to)
         # actual candidate pairs this assignment sweeps per iteration — the
         # whole point of the tile sweep is touching fewer pairs than N·M,
         # and the stat must say so (reference: MatchersImpl.cpp:86-101)
         self._loop_touched = ta.touched
-        # everything the traced path needs travels as jit arguments — no
-        # arrays baked into the program as constants
+        # candidate tables are loop-static: gather them ONCE here (device)
+        # so the per-iteration sweep is gather-free. Everything the traced
+        # path needs travels as jit arguments — no arrays baked into the
+        # program as constants.
+        cand_t, pen, cid = gather_candidates(self._blocks, ta.blocks)
         return (
-            {"q_rows": ta.q_rows, "blocks": ta.blocks},
-            {"sub_pts": self._blocks.pts, "sub_ids": self._blocks.ids},
+            {"q_rows": ta.q_rows, "cand_t": cand_t, "pen": pen, "cid": cid},
+            {},
         )
 
     def touched_per_iteration(self, reading, reference) -> int:
@@ -371,11 +388,11 @@ class BlockGridMatcher(Matcher):
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:
         if aux is not None and tuple(ref.points.shape) == self._ref_shape:
-            from .ops.tilesweep import tile_nn1
+            from .ops.tilesweep import tile_nn1_from_candidates
 
-            d1, i1 = tile_nn1(
-                reading.points, reading.mask, aux["q_rows"], aux["blocks"],
-                aux["sub_pts"], aux["sub_ids"], float(self.maxDist),
+            d1, i1 = tile_nn1_from_candidates(
+                reading.points, reading.mask, aux["q_rows"], aux["cand_t"],
+                aux["pen"], aux["cid"], float(self.maxDist),
             )
             return Matches(d1[:, None], i1[:, None])
         # pure fallback (engine paths without prepare_loop: vmapped batch,

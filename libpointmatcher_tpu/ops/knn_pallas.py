@@ -57,11 +57,14 @@ def _nn1_kernel(q_ref, rt_ref, rpen_ref, out_d_ref, out_i_ref,
     nch = tile_m // 128
     best_d = acc_d[:, :]          # [TQ, 128] per-lane running min
     best_i = acc_i[:, :]          # [TQ, 128] flat base index of that min
+    # hoist the sublane-strided query column extraction out of the chunk
+    # loop — re-slicing per chunk costs a shuffle sequence per [TQ, 128] op
+    qcols = [q_ref[:, c][:, None] for c in range(dim)]
     for ch in range(nch):
         sl = slice(ch * 128, (ch + 1) * 128)
         d2 = rpen_ref[0, sl][None, :]
         for c in range(dim):
-            diff = q_ref[:, c][:, None] - rt_ref[c, sl][None, :]
+            diff = qcols[c] - rt_ref[c, sl][None, :]
             d2 = d2 + diff * diff
         idx = jnp.int32(j * tile_m + ch * 128)
         take = d2 < best_d

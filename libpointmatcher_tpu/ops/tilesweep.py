@@ -31,14 +31,17 @@ reference's kd-tree build (reference: MatchersImpl.cpp:78-83).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["SubBlocks", "TileAssign", "build_sub_blocks", "assign_tiles",
-           "tile_nn1"]
+           "gather_candidates", "tile_nn1", "tile_nn1_from_candidates"]
 
 SB = 8  # sub-block rows (f32 sublane width)
 
@@ -150,8 +153,8 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     from ..cloud import bucket_size
 
     if len(keep) == 0 or len(sub.ulins) == 0:
-        T = max(1, pad_tiles_to)
-        B = max(8, pad_blocks_to)
+        T = max(16, pad_tiles_to)
+        B = max(16, pad_blocks_to)
         return TileAssign(
             q_rows=jnp.full((T, tile_q), -1, jnp.int32),
             blocks=jnp.full((T, B), S, jnp.int32),
@@ -159,11 +162,12 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
         )
 
     coords = np.floor((pts[keep] - sub.origin) / sub.cell_size).astype(np.int64)
-    # collision-free linearization over the query extent (cells may lie
-    # outside the reference grid; no clamping — cellblocks.py's rule)
+    # sort queries in Morton (z-order) of their cell so each tile of TQ
+    # consecutive queries covers a compact spatial blob — the candidate
+    # union per tile stays small (cells may lie outside the reference
+    # grid; no clamping — cellblocks.py's rule)
     lo = coords.min(axis=0)
-    ext = tuple(int(e) + 1 for e in (coords.max(axis=0) - lo))
-    qlin = _linearize(coords - lo, ext)
+    qlin = _morton(coords - lo).astype(np.int64)
     order = np.argsort(qlin, kind="stable")
     rows_sorted = keep[order]
     qlin_sorted = qlin[order]
@@ -226,10 +230,17 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     u_tile = ukey // (S + 1)
     u_slot = ukey % (S + 1)
 
-    # scatter per-tile block lists
+    # scatter per-tile block lists. The candidate axis B·SB must be a
+    # multiple of 128 (pallas lane width), and above 2048 a multiple of
+    # 2048 (the kernel's reference chunk): granule-32 ladder values
+    # (32, 48, 64, 96, 128, 192, 256) are all multiples of 16; beyond 256,
+    # round to 256-block multiples.
     t_starts = np.searchsorted(u_tile, np.arange(T_pad))
     t_counts = np.diff(np.concatenate([t_starts, [len(ukey)]]))
-    B = int(bucket_size(max(int(t_counts.max()), 8), granule=8))
+    maxc = max(int(t_counts.max()), 1, pad_blocks_to)
+    B = int(bucket_size(maxc, granule=32))
+    if B > 256:
+        B = -(-maxc // 256) * 256
     B = max(B, pad_blocks_to)
     blocks = np.full((T_pad, B), S, np.int64)
     within_t = np.arange(len(ukey)) - np.repeat(t_starts[: T], t_counts[: T])
@@ -242,34 +253,200 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     )
 
 
-def tile_nn1(points: jnp.ndarray, qmask: jnp.ndarray,
-             q_rows: jnp.ndarray, blocks: jnp.ndarray,
-             sub_pts: jnp.ndarray, sub_ids: jnp.ndarray,
-             max_dist: float):
-    """Exact bounded-radius 1-NN of ``points`` [N, d] through the static
-    tile assignment (traceable; runs inside the fused ICP loop).
+_DPAD = 8  # coordinate dim padded to the f32 sublane width
 
-    Returns ``(dists2 [N], ids [N])`` with ``(+inf, -1)`` beyond the
-    radius, for rows absent from the assignment, and for masked rows."""
+
+@jax.jit
+def _gather_candidates(sub_pts, sub_ids, blocks):
+    T, B = blocks.shape
+    d = sub_pts.shape[-1]
+    cand = sub_pts[blocks].reshape(T, B * SB, d)
+    cid = sub_ids[blocks].reshape(T, B * SB)
+    cand_t = jnp.zeros((T, _DPAD, B * SB), jnp.float32)
+    cand_t = cand_t.at[:, :d, :].set(jnp.swapaxes(cand, 1, 2))
+    pen = jnp.where(cid >= 0, 0.0, jnp.inf)[:, None, :]
+    return cand_t, pen, cid
+
+
+def gather_candidates(sub: SubBlocks, blocks: jnp.ndarray):
+    """Materialize a tile assignment's candidate tables, once per
+    registration (one jitted device program — eager dispatch costs several
+    relay round-trips; measured seconds at 10^5 tiles·slots): returns
+    ``(cand_t [T, 8, B·SB], pen [T, 1, B·SB], cid [T, B·SB])`` in the
+    kernel's transposed lane-contiguous layout. Candidates are loop-static,
+    so the per-iteration sweep never gathers."""
+    return _gather_candidates(sub.pts, sub.ids, blocks)
+
+
+def _morton(coords: np.ndarray) -> np.ndarray:
+    """Z-order key of nonnegative integer cell coords [N, d] (d ∈ {2, 3}).
+
+    Queries are tiled in this order: consecutive queries then occupy a
+    compact spatial blob instead of a row-major line, which shrinks each
+    tile's candidate-union (measured 61x padded-vs-touched with row-major
+    linear order at 10^5 uniform points)."""
+    d = coords.shape[1]
+
+    def spread3(x):
+        x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    def spread2(x):
+        x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        x = (x | (x << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << 2)) & np.uint64(0x3333333333333333)
+        x = (x | (x << 1)) & np.uint64(0x5555555555555555)
+        return x
+
+    if d == 3:
+        return (spread3(coords[:, 0])
+                | (spread3(coords[:, 1]) << np.uint64(1))
+                | (spread3(coords[:, 2]) << np.uint64(2)))
+    return (spread2(coords[:, 0])
+            | (spread2(coords[:, 1]) << np.uint64(1)))
+
+
+_TB = 8  # tiles per grid step
+
+
+def _tile_nn1_kernel(q_ref, rt_ref, pen_ref, out_d_ref, out_i_ref,
+                     acc_d, acc_i, *, dim, nj, tb):
+    """Chunked running-min sweep over ``tb`` tiles per grid step (same
+    reduction structure as ops/knn_pallas._nn1_kernel; the per-tile ops
+    are [TQ, 128] — interleaving ``tb`` independent tiles per step
+    amortizes per-chunk issue overhead, measured 5-10x at 256-query
+    tiles). The [TQ, B·SB] distance block lives only in VMEM — the
+    pure-XLA formulation materialized the full [T, TQ, B·SB] tensor to
+    HBM at ≥4·10^5 points (measured 25.8 GB allocation, OOM;
+    tools/large_knn_bench.py)."""
+    j = pl.program_id(1)
+    tile_m = rt_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        acc_d[:, :, :] = jnp.full_like(acc_d, jnp.inf)
+        acc_i[:, :, :] = jnp.zeros_like(acc_i)
+
+    nch = tile_m // 128
+    for s in range(tb):
+        best_d = acc_d[s, :, :]
+        best_i = acc_i[s, :, :]
+        # hoist the sublane-strided query column extraction out of the
+        # chunk loop — re-slicing per chunk costs a shuffle sequence per
+        # [TQ, 128] op
+        qcols = [q_ref[s, :, c][:, None] for c in range(dim)]
+        for ch in range(nch):
+            sl = slice(ch * 128, (ch + 1) * 128)
+            d2 = pen_ref[s, 0, sl][None, :]
+            for c in range(dim):
+                diff = qcols[c] - rt_ref[s, c, sl][None, :]
+                d2 = d2 + diff * diff
+            idx = jnp.int32(j * tile_m + ch * 128)
+            take = d2 < best_d
+            best_d = jnp.where(take, d2, best_d)
+            best_i = jnp.where(take, idx, best_i)
+        acc_d[s, :, :] = best_d
+        acc_i[s, :, :] = best_i
+
+    @pl.when(j == nj - 1)
+    def _():
+        for s in range(tb):
+            bd = acc_d[s, :, :]
+            td = jnp.min(bd, axis=1)
+            lane = jnp.argmin(bd, axis=1).astype(jnp.int32)
+            base = jnp.sum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+                    == lane[:, None],
+                    acc_i[s, :, :], 0,
+                ),
+                axis=1,
+            )
+            out_d_ref[s, 0, :] = td
+            out_i_ref[s, 0, :] = base + lane
+
+
+def _tile_sweep_pallas(q, cand_t, pen, *, dim):
+    """(q [T, TQ, DPAD], cand_t [T, DPAD, M], pen [T, 1, M]) →
+    per-slot best (dists2 [T, TQ], flat candidate index [T, TQ])."""
+    T, TQ, _ = q.shape
+    M = cand_t.shape[2]
+    tile_m = min(M, 2048)
+    assert M % tile_m == 0 and tile_m % 128 == 0, (M, tile_m)
+    assert T % _TB == 0, T  # assign_tiles' granule-16 ladder guarantees it
+    nj = M // tile_m
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_tile_nn1_kernel, dim=dim, nj=nj, tb=_TB),
+        grid=(T // _TB, nj),
+        in_specs=[
+            pl.BlockSpec((_TB, TQ, _DPAD), lambda t, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, _DPAD, tile_m), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, 1, tile_m), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # unit middle dim: Mosaic wants the last two block dims
+            # divisible by (8, 128) or equal to the array dims
+            pl.BlockSpec((_TB, 1, TQ), lambda t, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, 1, TQ), lambda t, j: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 1, TQ), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, TQ), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_TB, TQ, 128), jnp.float32),
+            pltpu.VMEM((_TB, TQ, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * dim + 3) * T * TQ * M,
+            bytes_accessed=4 * T * M * (_DPAD + 1) + 4 * T * TQ * _DPAD,
+            transcendentals=0,
+        ),
+    )(q, cand_t, pen)
+    return out_d[:, 0, :], out_i[:, 0, :]
+
+
+def _tile_sweep_xla(q, cand_t, pen, *, dim):
+    """CPU / interpret fallback: per-tile lax.map keeps the distance block
+    at [TQ, M] instead of [T, TQ, M]."""
+
+    def one(args):
+        qt, ct, pn = args
+        d2 = pn[0][None, :]
+        for c in range(dim):
+            d2 = d2 + (qt[:, c][:, None] - ct[c, :][None, :]) ** 2
+        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    return jax.lax.map(one, (q, cand_t, pen))
+
+
+def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
+                             max_dist: float):
+    """Exact bounded-radius 1-NN through pre-gathered candidate tables
+    (traceable; the fused ICP loop's per-iteration matcher call)."""
+    from .dispatch import use_pallas
+
     n, d = points.shape
     T, TQ = q_rows.shape
-    B = blocks.shape[1]
+    q = jnp.zeros((T, TQ, _DPAD), jnp.float32)
+    q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
 
-    q = points[jnp.maximum(q_rows, 0)]                     # [T, TQ, d]
-    cand = sub_pts[blocks].reshape(T, B * SB, d)           # block gather
-    cid = sub_ids[blocks].reshape(T, B * SB)
-
-    # difference-form distances; min and argmin fuse into the producer —
-    # never materialize [T, TQ, B·SB] (ops/cellblocks.py measured an HBM
-    # round trip at 86 ms when take_along_axis forced it)
-    diff = q[:, :, None, :] - cand[:, None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)                     # [T, TQ, B·SB]
-    d2 = jnp.where(cid[:, None, :] >= 0, d2, jnp.inf)
-    d2 = jnp.where(d2 <= jnp.float32(max_dist) ** 2, d2, jnp.inf)
-
-    bd = jnp.min(d2, axis=2)                               # [T, TQ]
-    best = jnp.argmin(d2, axis=2)
-    bi = jnp.take_along_axis(cid, best, axis=1)            # [T, TQ]
+    sweep = _tile_sweep_pallas if use_pallas() else _tile_sweep_xla
+    bd, pos = sweep(q, cand_t, pen, dim=d)              # [T, TQ]
+    bd = jnp.where(bd <= jnp.float32(max_dist) ** 2, bd, jnp.inf)
+    bi = jnp.take_along_axis(cid, pos, axis=1)
     bi = jnp.where(jnp.isfinite(bd), bi, -1)
 
     out_d = jnp.full((n,), jnp.inf, jnp.float32)
@@ -286,3 +463,26 @@ def tile_nn1(points: jnp.ndarray, qmask: jnp.ndarray,
     out_d = jnp.where(qmask, out_d, jnp.inf)
     out_i = jnp.where(qmask, out_i, -1)
     return out_d, out_i
+
+
+def tile_nn1(points: jnp.ndarray, qmask: jnp.ndarray,
+             q_rows: jnp.ndarray, blocks: jnp.ndarray,
+             sub_pts: jnp.ndarray, sub_ids: jnp.ndarray,
+             max_dist: float):
+    """Exact bounded-radius 1-NN of ``points`` [N, d] through the static
+    tile assignment. Convenience form: gathers candidate tables on the fly
+    (the engine pre-gathers once per registration via
+    :func:`gather_candidates` instead — candidates are loop-static).
+
+    Returns ``(dists2 [N], ids [N])`` with ``(+inf, -1)`` beyond the
+    radius, for rows absent from the assignment, and for masked rows."""
+    T, B = blocks.shape
+    d = sub_pts.shape[-1]
+    cand = sub_pts[blocks].reshape(T, B * SB, d)
+    cid = sub_ids[blocks].reshape(T, B * SB)
+    cand_t = jnp.zeros((T, _DPAD, B * SB), jnp.float32)
+    cand_t = cand_t.at[:, :d, :].set(jnp.swapaxes(cand, 1, 2))
+    pen = jnp.where(cid >= 0, 0.0, jnp.inf)[:, None, :]
+    return tile_nn1_from_candidates(
+        points, qmask, q_rows, cand_t, pen, cid, max_dist
+    )

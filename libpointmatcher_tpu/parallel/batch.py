@@ -416,22 +416,24 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         out = seq.matcher.prepare_loop_host(moved, mask)
         per, shared = out
         pers.append(per)
-    # align per-scan aux shapes (tile/block counts differ per scan): pad
-    # q_rows with -1, block lists with the empty sentinel slot
-    sentinel = int(shared["sub_pts"].shape[0]) - 1
+    # align per-scan aux shapes (tile/candidate counts differ per scan):
+    # pad tiles with -1 query rows (scatter-dropped) and candidate slots
+    # with +inf penalty / -1 ids — exact by construction
     max_t = max(int(p["q_rows"].shape[0]) for p in pers)
-    max_b = max(int(p["blocks"].shape[1]) for p in pers)
+    max_b = max(int(p["cand_t"].shape[2]) for p in pers)
 
     def pad_per(p):
-        q = p["q_rows"]
-        blk = p["blocks"]
-        q = jnp.pad(q, ((0, max_t - q.shape[0]), (0, 0)),
-                    constant_values=-1)
-        blk = jnp.pad(
-            blk, ((0, max_t - blk.shape[0]), (0, max_b - blk.shape[1])),
-            constant_values=sentinel,
-        )
-        return {"q_rows": q, "blocks": blk}
+        dt = max_t - p["q_rows"].shape[0]
+        dm = max_b - p["cand_t"].shape[2]
+        return {
+            "q_rows": jnp.pad(p["q_rows"], ((0, dt), (0, 0)),
+                              constant_values=-1),
+            "cand_t": jnp.pad(p["cand_t"], ((0, dt), (0, 0), (0, dm))),
+            "pen": jnp.pad(p["pen"], ((0, dt), (0, 0), (0, dm)),
+                           constant_values=jnp.inf),
+            "cid": jnp.pad(p["cid"], ((0, dt), (0, dm)),
+                           constant_values=-1),
+        }
 
     pers = [pad_per(p) for p in pers]
     per_aux = jax.tree_util.tree_map(

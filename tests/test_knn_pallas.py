@@ -91,3 +91,52 @@ def test_knnk_fewer_refs_than_k():
     assert np.all(np.isfinite(d1[:, :4]))
     assert np.all(np.isinf(d1[:, 4:]))
     assert np.all(i1[:, 4:] == -1)
+
+
+def test_tile_sweep_pallas_kernel_matches_xla(monkeypatch):
+    """The pallas tile-sweep kernel (interpret mode) == the XLA fallback ==
+    brute force within the radius."""
+    import jax.numpy as jnp
+    import libpointmatcher_tpu.ops.tilesweep as ts
+    import libpointmatcher_tpu.ops.dispatch as dispatch
+
+    orig = ts.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ts.pl, "pallas_call", patched)
+
+    rng = np.random.default_rng(17)
+    q = rng.uniform(-3, 3, size=(600, 3)).astype(np.float32)
+    r = rng.uniform(-3, 3, size=(800, 3)).astype(np.float32)
+    qm = np.ones(600, bool)
+    qm[::13] = False
+    rm = np.ones(800, bool)
+    rm[::7] = False
+    sub = ts.build_sub_blocks(r, rm, cell_size=0.5)
+    ta = ts.assign_tiles(q, qm, sub, tile_q=128)
+    cand_t, pen, cid = ts.gather_candidates(sub, ta.blocks)
+
+    # XLA fallback path (use_pallas False on CPU)
+    d_x, i_x = ts.tile_nn1_from_candidates(
+        jnp.asarray(q), jnp.asarray(qm), ta.q_rows, cand_t, pen, cid, 0.5
+    )
+    # force the pallas path (interpret mode)
+    monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
+    d_p, i_p = ts.tile_nn1_from_candidates(
+        jnp.asarray(q), jnp.asarray(qm), ta.q_rows, cand_t, pen, cid, 0.5
+    )
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
+                               rtol=1e-6, atol=1e-7)
+    # both agree with brute force within the radius
+    d_b, i_b = knn_brute_force(q, qm, r, rm, k=1)
+    d_b = np.asarray(d_b)[:, 0]
+    i_b = np.asarray(i_b)[:, 0]
+    cut = (d_b <= 0.25) & qm
+    f = np.isfinite(np.asarray(d_x))
+    assert np.array_equal(f, cut)
+    np.testing.assert_allclose(np.asarray(d_x)[f], d_b[f],
+                               rtol=1e-3, atol=1e-5)
