@@ -33,6 +33,8 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        if os.environ.get("PMTPU_NO_NATIVE"):
+            return None  # force the pure-Python parsers (testing/debug)
         try:
             if not os.path.exists(_SO) or (
                 os.path.exists(_SRC)

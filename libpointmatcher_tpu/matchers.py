@@ -317,6 +317,14 @@ class BlockGridMatcher(Matcher):
         Param("motionBound", "upper bound on how far any reading point "
               "moves during one registration (cell edge = maxDist + "
               "motionBound)", float, 1.0, min=0.0),
+        Param("tileQueries", "queries per sweep tile (spatially coherent "
+              "Morton groups; smaller tiles shrink candidate unions, "
+              "larger tiles amortize per-step issue overhead)",
+              int, 256, min=8),
+        Param("blockCap", "candidate rows per virtual tile: tiles whose "
+              "candidate union exceeds this are split, bounding the "
+              "padded sweep at ceil(union/cap)*cap instead of the global "
+              "max union (see ops/tilesweep.py)", int, 1024, min=128),
     )
 
     _init_counter = 0
@@ -363,8 +371,10 @@ class BlockGridMatcher(Matcher):
         from .ops.tilesweep import assign_tiles, gather_candidates
 
         ta = assign_tiles(pts, mask, self._blocks,
+                          tile_q=int(self.tileQueries),
                           pad_tiles_to=pad_tiles_to,
-                          pad_blocks_to=pad_blocks_to)
+                          pad_blocks_to=pad_blocks_to,
+                          block_cap=int(self.blockCap))
         # actual candidate pairs this assignment sweeps per iteration — the
         # whole point of the tile sweep is touching fewer pairs than N·M,
         # and the stat must say so (reference: MatchersImpl.cpp:86-101)

@@ -137,7 +137,7 @@ def build_sub_blocks(points: np.ndarray, mask: np.ndarray,
 
 def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
                  tile_q: int = 256, pad_tiles_to: int = 0,
-                 pad_blocks_to: int = 0) -> TileAssign:
+                 pad_blocks_to: int = 0, block_cap: int = 1024) -> TileAssign:
     """Host assignment (loop start, static for the whole while_loop).
 
     Valid queries are sorted by their (unclamped) cell id — spatial
@@ -145,7 +145,18 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     tiles of ``tile_q``. Each tile's candidate list is the deduplicated
     union of the sub-blocks of the 3^d neighborhoods of its query cells.
     ``pad_tiles_to`` / ``pad_blocks_to`` force minimum output shapes (the
-    serving path stacks assignments of several scans)."""
+    serving path stacks assignments of several scans).
+
+    ``block_cap`` bounds the candidate axis: a tile whose union exceeds
+    ``block_cap`` candidate rows is split into *virtual tiles* sharing its
+    query rows, each carrying a ``block_cap``-row chunk of the union. The
+    sweep's padded work is then Σ_t ceil(union_t / cap)·cap·TQ instead of
+    T·max_t(union_t)·TQ — on skewed scans the global max is the dominant
+    padding source (measured on the 25k-pt car pair at cell edge 1.5:
+    101M padded cells without the split vs 31M with cap=1024, vs 13.8M
+    actually touched; tools/tile_union_analysis.py). Exactness is
+    preserved by min-merging virtual-tile results per query row
+    (:func:`tile_nn1_from_candidates`)."""
     pts = np.asarray(query, np.float64)
     d = pts.shape[1]
     S = int(sub.pts.shape[0]) - 1                 # sentinel slot
@@ -237,13 +248,37 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     # round to 256-block multiples.
     t_starts = np.searchsorted(u_tile, np.arange(T_pad))
     t_counts = np.diff(np.concatenate([t_starts, [len(ukey)]]))
-    maxc = max(int(t_counts.max()), 1, pad_blocks_to)
+    within_t = np.arange(len(ukey)) - np.repeat(t_starts, t_counts)
+    capb = max(block_cap // SB, 16)
+    maxc = max(int(t_counts.max()), 1)
+
+    if maxc > capb:
+        # virtual-tile split: tile t becomes ceil(count_t / capb) tiles
+        # sharing its query rows; tiles with zero candidates (including the
+        # all-pad tail tiles) contribute none — the scatter-min merge's
+        # (+inf, -1) init covers their rows
+        k_t = -(-t_counts // capb)
+        vbase = np.concatenate([[0], np.cumsum(k_t)])
+        Tv = int(k_t.sum())
+        Tv_pad = max(int(bucket_size(max(Tv, 1), granule=16)), pad_tiles_to)
+        parent = np.repeat(np.arange(T_pad), k_t)
+        vq_rows = np.full((Tv_pad, tile_q), -1, np.int64)
+        vq_rows[:Tv] = q_rows[parent]
+        B = max(capb, pad_blocks_to)
+        blocks = np.full((Tv_pad, B), S, np.int64)
+        blocks[vbase[u_tile] + within_t // capb, within_t % capb] = u_slot
+        return TileAssign(
+            q_rows=jnp.asarray(vq_rows, jnp.int32),
+            blocks=jnp.asarray(blocks, jnp.int32),
+            touched=touched,
+        )
+
+    maxc = max(maxc, pad_blocks_to)
     B = int(bucket_size(maxc, granule=32))
     if B > 256:
         B = -(-maxc // 256) * 256
     B = max(B, pad_blocks_to)
     blocks = np.full((T_pad, B), S, np.int64)
-    within_t = np.arange(len(ukey)) - np.repeat(t_starts[: T], t_counts[: T])
     blocks[u_tile, within_t] = u_slot
 
     return TileAssign(
@@ -449,17 +484,25 @@ def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
     bi = jnp.take_along_axis(cid, pos, axis=1)
     bi = jnp.where(jnp.isfinite(bd), bi, -1)
 
-    out_d = jnp.full((n,), jnp.inf, jnp.float32)
-    out_i = jnp.full((n,), -1, jnp.int32)
+    # min-merge scatter: a query row may appear in several *virtual* tiles
+    # (block_cap splits, see assign_tiles) — take the min distance across
+    # them, then the smallest original row id among exact distance ties
+    # (deterministic, matches the sharded merge in parallel/sharding.py)
+    big = jnp.int32(np.iinfo(np.int32).max)
     flat = q_rows.reshape(-1)
     ok = flat >= 0
     idx = jnp.where(ok, flat, n)
-    out_d = out_d.at[idx].set(
-        jnp.where(ok, bd.reshape(-1), jnp.inf), mode="drop"
+    bd_flat = jnp.where(ok, bd.reshape(-1), jnp.inf)
+    out_d = jnp.full((n,), jnp.inf, jnp.float32).at[idx].min(
+        bd_flat, mode="drop"
     )
-    out_i = out_i.at[idx].set(
-        jnp.where(ok, bi.reshape(-1), -1), mode="drop"
+    win = bd_flat == out_d[jnp.minimum(idx, n - 1)]
+    cand_i = jnp.where(
+        jnp.logical_and(jnp.logical_and(ok, win), bi.reshape(-1) >= 0),
+        bi.reshape(-1), big,
     )
+    out_i = jnp.full((n,), big, jnp.int32).at[idx].min(cand_i, mode="drop")
+    out_i = jnp.where(out_i == big, -1, out_i)
     out_d = jnp.where(qmask, out_d, jnp.inf)
     out_i = jnp.where(qmask, out_i, -1)
     return out_d, out_i

@@ -168,10 +168,12 @@ def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
     (the multi-chip form of ``ops.tilesweep.tile_nn1``).
 
     Each device sweeps its slice of query tiles against the replicated
-    sub-block table. Query rows are owned by exactly one tile, so each
-    shard's [N] outputs are disjoint (+inf / -1 elsewhere) and the merge is
-    one pmin/pmax pair over ICI — communication O(n_dev·N), independent of
-    reference size. Bit-identical to the single-device op.
+    sub-block table. A query row's tiles may land on several devices
+    (virtual tiles share query rows — assign_tiles ``block_cap``), so the
+    merge is min over distance with the smallest original row id among
+    exact distance ties — the same convention as the single-device
+    scatter-min merge, hence bit-identical to it. Communication is one
+    pmin pair over ICI, O(n_dev·N), independent of reference size.
 
     ``q_rows.shape[0]`` (the tile axis, bucketed on a granule-8 ladder by
     ``assign_tiles``) must divide the mesh size."""
@@ -192,9 +194,12 @@ def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
     )
     def run(pts, qm, rows, blk, spts, sids):
         ld, li = tile_nn1(pts, qm, rows, blk, spts, sids, max_dist)
-        return (
-            jax.lax.pmin(ld, axis_name),
-            jax.lax.pmax(li, axis_name),
+        gd = jax.lax.pmin(ld, axis_name)
+        big = jnp.int32(np.iinfo(np.int32).max)
+        cand = jnp.where(
+            jnp.logical_and(ld == gd, li >= 0), li, big
         )
+        gi = jax.lax.pmin(cand, axis_name)
+        return gd, jnp.where(gi == big, -1, gi)
 
     return run(points, qmask, q_rows, blocks, sub_pts, sub_ids)

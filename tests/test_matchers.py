@@ -268,3 +268,49 @@ def test_touched_stat_differs_per_matcher(data3d, ref3d):
         Reg.create("CellGridMatcher", {"knn": "1", "maxDist": "2.0"})
     )
     assert 0 < cell_touch < cell_iters * n_r3 * n_f3
+
+
+def test_block_grid_virtual_split_exact():
+    """Forcing the virtual-tile split (tiny blockCap → every tile's union
+    is chunked across several virtual tiles sharing its query rows) must
+    stay exact: the scatter-min merge reassembles the true bounded-radius
+    1-NN (see ops/tilesweep.py assign_tiles block_cap)."""
+    a, b = clouds(n=700, m=900, seed=21)
+    kd = Reg.create("KDTreeMatcher", {"knn": "1", "maxDist": "0.8"})
+    bg = Reg.create("BlockGridMatcher",
+                    {"maxDist": "0.8", "motionBound": "0.0",
+                     "blockCap": "128", "tileQueries": "64"})
+    kd.init(b)
+    bg.init(b)
+    # confirm the split actually triggered: candidate axis == blockCap
+    aux = bg.prepare_loop(a)
+    assert aux["cand_t"].shape[2] == 128
+    # and query rows are duplicated across virtual tiles
+    rows = np.asarray(aux["q_rows"])
+    rows = rows[rows >= 0]
+    assert len(rows) > len(np.unique(rows))
+    m1 = kd.find_closests(a)
+    m2 = bg.find_closests_in(a, b, aux=aux)
+    d1, i1 = np.asarray(m1.dists)[:, 0], np.asarray(m1.ids)[:, 0]
+    d2, i2 = np.asarray(m2.dists)[:, 0], np.asarray(m2.ids)[:, 0]
+    assert np.array_equal(np.isfinite(d1), np.isfinite(d2))
+    f = np.isfinite(d1)
+    # atol 1e-5: the dense matcher's f32 rounding differs from the tile
+    # sweep's on the same winning candidate (both within 2e-6 of the f64
+    # truth; verified row-by-row when this test was written)
+    np.testing.assert_allclose(d2[f], d1[f], rtol=1e-4, atol=1e-5)
+    diff = (i1 != i2) & f
+    assert np.all(np.abs(d1[diff] - d2[diff]) < 1e-5)  # ties only
+
+
+def test_block_grid_virtual_split_through_engine(data3d, ref3d):
+    """Full fused registration with split tiles enabled."""
+    from tests.conftest import validate_3d
+
+    icp = pm.ICP()
+    icp.set_default()
+    icp.matcher = Reg.create("BlockGridMatcher",
+                             {"maxDist": "2.0", "motionBound": "2.0",
+                              "blockCap": "256"})
+    T = icp(data3d, ref3d, seed=0)
+    validate_3d(T)

@@ -4,7 +4,7 @@ Measures register_batch_to_map throughput at the production shape (batch 8,
 car clouds, default chain otherwise) and checks the two matchers land on
 the same poses (golden-style criterion).
 
-Usage: python tools/serve_bench.py [maxDist motionBound]
+Usage: python tools/serve_bench.py [maxDist motionBound tileQueries blockCap]
 """
 
 from __future__ import annotations
@@ -53,11 +53,14 @@ def bench(seq, scans, label):
 def main():
     max_dist = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     motion = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+    tile_q = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    block_cap = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     reading = io.load(f"{BASE}/car_cloud401.csv")
     reference = io.load(f"{BASE}/car_cloud400.csv")
     scans = [reading] * BATCH
     print(f"backend={jax.default_backend()} batch={BATCH} "
-          f"maxDist={max_dist} motionBound={motion}")
+          f"maxDist={max_dist} motionBound={motion} "
+          f"tileQueries={tile_q} blockCap={block_cap}")
 
     seq = pm.ICPSequence()
     seq.set_default()
@@ -68,7 +71,8 @@ def main():
     seq2.set_default()
     seq2.matcher = MatcherRegistrar.create(
         "BlockGridMatcher",
-        {"maxDist": str(max_dist), "motionBound": str(motion)},
+        {"maxDist": str(max_dist), "motionBound": str(motion),
+         "tileQueries": str(tile_q), "blockCap": str(block_cap)},
     )
     seq2.set_map(reference, seed=0)
     T_blk, dt_b = bench(seq2, scans, "tile BlockGridMatcher")
