@@ -9,6 +9,7 @@ the whole filter is three fused XLA computations instead of N small eigens.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -190,6 +191,77 @@ def _median_split_boxes(points: np.ndarray, knn: int) -> np.ndarray:
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_boxes", "method", "avg", "kn", "kd", "kev",
+                     "kevec"),
+)
+def _ssn_device(pts, seg, descs, key, ratio, max_box_dim, first, *,
+                num_boxes, method, avg, kn, kd, kev, kevec):
+    """SamplingSurfaceNormal's whole device portion as ONE program.
+
+    Eager dispatch of the ~20 segment/eigh ops cost ~5 ms each through the
+    TPU relay (measured dominating one-shot latency); fused they are one
+    dispatch. ``num_boxes`` is the bucketed box count (coarse recompile
+    ladder); ``first`` is the per-box first-occurrence row (method 1),
+    padded with n (dropped by the scatter)."""
+    n, d = pts.shape
+    ones = jnp.ones((n,), jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg, num_boxes)  # [B]
+    sums = jax.ops.segment_sum(pts, seg, num_boxes)  # [B,d]
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    centered = pts - means[seg]
+    outer = centered[:, :, None] * centered[:, None, :]  # [n,d,d]
+    C = jax.ops.segment_sum(outer.reshape(n, d * d), seg, num_boxes)
+    C = C.reshape(num_boxes, d, d)
+    eigva, eigve = jnp.linalg.eigh(C)
+
+    box_min = jax.ops.segment_min(pts, seg, num_boxes)
+    box_max = jax.ops.segment_max(pts, seg, num_boxes)
+    box_dim = jnp.max(box_max - box_min, axis=1)
+    max_cnorm = jax.ops.segment_max(
+        jnp.linalg.norm(centered, axis=1), seg, num_boxes
+    )
+
+    lam_max = jnp.maximum(eigva[:, -1], 1e-30)
+    degenerate = eigva[:, 1] <= lam_max * 1e-9
+    unfit = jnp.logical_or(degenerate, box_dim > max_box_dim)  # [B]
+
+    normals = jnp.clip(eigve[:, :, 0], -1.0, 1.0)
+    volume = (4.0 / 3.0) * math.pi * jnp.maximum(max_cnorm, 1e-12) ** 3
+    densities = counts / volume
+    ser = eigve.reshape(num_boxes, d * d)
+
+    if method == 0:
+        r = jax.random.uniform(key, (n,))
+        keep = jnp.logical_and(r < ratio, jnp.logical_not(unfit[seg]))
+        new_pts = pts
+        desc_src = dict(descs)
+    else:
+        # one representative per box at the box mean
+        keep = jnp.zeros((n,), bool).at[first].set(True, mode="drop")
+        keep = jnp.logical_and(keep, jnp.logical_not(unfit[seg]))
+        new_pts = means[seg]
+        desc_src = {}
+        for k, v in descs.items():
+            if avg:
+                dsum = jax.ops.segment_sum(v, seg, num_boxes)
+                desc_src[k] = (dsum / jnp.maximum(counts, 1.0)[:, None])[seg]
+            else:
+                desc_src[k] = v
+
+    out = dict(desc_src)
+    if kn:
+        out["normals"] = normals[seg]
+    if kd:
+        out["densities"] = densities[seg][:, None]
+    if kev:
+        out["eigValues"] = eigva[seg]
+    if kevec:
+        out["eigVectors"] = ser[seg]
+    return new_pts, keep, out
+
+
 @_reg
 class SamplingSurfaceNormalDataPointsFilter(DataPointsFilter):
     """Subsample + estimate normals per kd-box decomposition
@@ -197,8 +269,9 @@ class SamplingSurfaceNormalDataPointsFilter(DataPointsFilter):
     reference-cloud filter, ICP.cpp:106).
 
     TPU design: the median-split decomposition runs on host (numpy,
-    O(N log N)); per-box covariance/eigen statistics are computed on device
-    with one segment-sum + batched eigh."""
+    O(N log N)); the per-box covariance/eigen statistics, the fitness
+    tests and the subsampling draw are one fused device program
+    (``_ssn_device``)."""
 
     PARAMS = (
         Param("ratio", "ratio of points to keep with random subsampling",
@@ -223,82 +296,47 @@ class SamplingSurfaceNormalDataPointsFilter(DataPointsFilter):
             key = jax.random.PRNGKey(0)
         host_pts, host_descs, host_times = cloud.to_numpy()
         n = host_pts.shape[0]
-        d = host_pts.shape[1]
         if n == 0:
             return cloud
         box_ids = _median_split_boxes(host_pts, int(self.knn))
         num_boxes = int(box_ids.max()) + 1
+        # bucket the box count so the fused device program recompiles on a
+        # coarse ladder, not per registration
+        from ..cloud import bucket_size
 
-        pts = jnp.asarray(host_pts)
-        seg = jnp.asarray(box_ids)
-        ones = jnp.ones((n,), jnp.float32)
-        counts = jax.ops.segment_sum(ones, seg, num_boxes)  # [B]
-        sums = jax.ops.segment_sum(pts, seg, num_boxes)  # [B,d]
-        means = sums / jnp.maximum(counts, 1.0)[:, None]
-        centered = pts - means[seg]
-        outer = centered[:, :, None] * centered[:, None, :]  # [n,d,d]
-        C = jax.ops.segment_sum(outer.reshape(n, d * d), seg, num_boxes)
-        C = C.reshape(num_boxes, d, d)
-        eigva, eigve = jnp.linalg.eigh(C)
+        nb_pad = int(bucket_size(num_boxes, granule=256))
 
-        box_min = jax.ops.segment_min(pts, seg, num_boxes)
-        box_max = jax.ops.segment_max(pts, seg, num_boxes)
-        box_dim = jnp.max(box_max - box_min, axis=1)
-        max_cnorm = jax.ops.segment_max(
-            jnp.linalg.norm(centered, axis=1), seg, num_boxes
+        first = None
+        if self.samplingMethod != 0:
+            # first occurrence of each (compact, 0..B-1) box id — box ids
+            # are assigned in sorted order so unique's indices line up
+            _, first_idx = np.unique(box_ids, return_index=True)
+            first_pad = np.full(nb_pad, n, dtype=np.int64)  # n → dropped
+            first_pad[: len(first_idx)] = first_idx
+            first = jnp.asarray(first_pad)
+
+        new_pts, keep, descs = _ssn_device(
+            jnp.asarray(host_pts),
+            jnp.asarray(box_ids),
+            {k: jnp.asarray(v) for k, v in host_descs.items()},
+            key,
+            jnp.float32(self.ratio),
+            jnp.float32(self.maxBoxDim),
+            first,
+            num_boxes=nb_pad,
+            method=int(self.samplingMethod),
+            avg=bool(self.averageExistingDescriptors),
+            kn=bool(self.keepNormals),
+            kd=bool(self.keepDensities),
+            kev=bool(self.keepEigenValues),
+            kevec=bool(self.keepEigenVectors),
         )
-
-        lam_max = jnp.maximum(eigva[:, -1], 1e-30)
-        degenerate = eigva[:, 1] <= lam_max * 1e-9
-        unfit = jnp.logical_or(degenerate, box_dim > self.maxBoxDim)  # [B]
-
-        normals = jnp.clip(eigve[:, :, 0], -1.0, 1.0)
-        volume = (4.0 / 3.0) * math.pi * jnp.maximum(max_cnorm, 1e-12) ** 3
-        densities = counts / volume
-        ser = eigve.reshape(num_boxes, d * d)
-
-        if self.samplingMethod == 0:
-            r = jax.random.uniform(key, (n,))
-            keep = jnp.logical_and(r < self.ratio, jnp.logical_not(unfit[seg]))
-            new_pts = pts
-            desc_src = {k: jnp.asarray(v) for k, v in host_descs.items()}
-        else:
-            # one representative per box at the box mean
-            first_idx = np.zeros(num_boxes, dtype=np.int64)
-            seen = np.zeros(num_boxes, dtype=bool)
-            for i, b in enumerate(box_ids):
-                if not seen[b]:
-                    seen[b] = True
-                    first_idx[b] = i
-            keep = jnp.zeros((n,), bool).at[jnp.asarray(first_idx)].set(True)
-            keep = jnp.logical_and(keep, jnp.logical_not(unfit[seg]))
-            new_pts = means[seg]
-            desc_src = {}
-            for k, v in host_descs.items():
-                va = jnp.asarray(v)
-                if self.averageExistingDescriptors:
-                    dsum = jax.ops.segment_sum(va, seg, num_boxes)
-                    desc_src[k] = (dsum / jnp.maximum(counts, 1.0)[:, None])[seg]
-                else:
-                    desc_src[k] = va
-
-        descs = dict(desc_src)
-        if self.keepNormals:
-            descs["normals"] = normals[seg]
-        if self.keepDensities:
-            descs["densities"] = densities[seg][:, None]
-        if self.keepEigenValues:
-            descs["eigValues"] = eigva[seg]
-        if self.keepEigenVectors:
-            descs["eigVectors"] = ser[seg]
-
-        out = PointCloud(
+        return PointCloud(
             new_pts,
             keep,
             descs,
             {k: jnp.asarray(v) for k, v in host_times.items()},
         )
-        return out
 
 
 @_reg

@@ -152,18 +152,23 @@ class KDTreeMatcher(Matcher):
 
     PARAMS = (
         Param("knn", "number of nearest neighbors to consider", int, 1, min=1),
-        Param("epsilon", "approximation to use for the nearest-neighbor search "
-              "(accepted for config parity; search here is always exact)",
+        Param("epsilon", "approximation to use for the nearest-neighbor "
+              "search: 0 = exact sweep; any value > 0 opts into the MXU "
+              "matmul-form kernel on TPU, whose only deviation is "
+              "mis-ranking ~1e-6-relative distance ties — within the "
+              "reference's (1+epsilon) contract for every practical "
+              "epsilon, at ~2x throughput (see ops/dispatch.knn_search)",
               float, 0.0, min=0.0),
         Param("searchType", "kd-tree search strategy in the reference "
-              "(ignored: search is a tiled exact sweep)", int, 1, min=0, max=2),
+              "(ignored: search is a tiled sweep)", int, 1, min=0, max=2),
         Param("maxDist", "maximum distance to consider for neighbors",
               float, "inf", min=0.0),
     )
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
         dists, ids = knn_search(
-            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+            reading.points, reading.mask, ref.points, ref.mask, k=self.knn,
+            epsilon=float(self.epsilon),
         )
         if self.maxDist != float("inf"):
             keep = dists <= jnp.float32(self.maxDist) ** 2
@@ -385,7 +390,8 @@ class BlockGridMatcher(Matcher):
         # program as constants.
         cand_t, pen, cid = gather_candidates(self._blocks, ta.blocks)
         return (
-            {"q_rows": ta.q_rows, "cand_t": cand_t, "pen": pen, "cid": cid},
+            {"q_rows": ta.q_rows, "cand_t": cand_t, "pen": pen, "cid": cid,
+             "merge_pos": ta.merge_pos},
             {},
         )
 
@@ -403,6 +409,7 @@ class BlockGridMatcher(Matcher):
             d1, i1 = tile_nn1_from_candidates(
                 reading.points, reading.mask, aux["q_rows"], aux["cand_t"],
                 aux["pen"], aux["cid"], float(self.maxDist),
+                merge_pos=aux.get("merge_pos"),
             )
             return Matches(d1[:, None], i1[:, None])
         # pure fallback (engine paths without prepare_loop: vmapped batch,

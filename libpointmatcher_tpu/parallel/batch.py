@@ -421,10 +421,13 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
     # with +inf penalty / -1 ids — exact by construction
     max_t = max(int(p["q_rows"].shape[0]) for p in pers)
     max_b = max(int(p["cand_t"].shape[2]) for p in pers)
+    max_k = max(int(p["merge_pos"].shape[1]) for p in pers)
 
     def pad_per(p):
         dt = max_t - p["q_rows"].shape[0]
         dm = max_b - p["cand_t"].shape[2]
+        dk = max_k - p["merge_pos"].shape[1]
+        dn = rows - p["merge_pos"].shape[0]
         return {
             "q_rows": jnp.pad(p["q_rows"], ((0, dt), (0, 0)),
                               constant_values=-1),
@@ -433,6 +436,10 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
                            constant_values=jnp.inf),
             "cid": jnp.pad(p["cid"], ((0, dt), (0, dm)),
                            constant_values=-1),
+            # -1 = unused merge slot: pad-proof across scans whose own
+            # tile counts (hence flat position ranges) differ
+            "merge_pos": jnp.pad(p["merge_pos"], ((0, dn), (0, dk)),
+                                 constant_values=-1),
         }
 
     pers = [pad_per(p) for p in pers]

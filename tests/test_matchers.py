@@ -314,3 +314,22 @@ def test_block_grid_virtual_split_through_engine(data3d, ref3d):
                               "blockCap": "256"})
     T = icp(data3d, ref3d, seed=0)
     validate_3d(T)
+
+
+def test_kdtree_epsilon_approximate_contract():
+    """epsilon > 0 opts into the approximate (MXU) kernel on TPU and the
+    exact path elsewhere; either way results must satisfy libnabo's
+    (1+epsilon) contract (reference: MatchersImpl.h:84, nabo ANN search).
+    The official solution configs use epsilon 3.16."""
+    a, b = clouds(n=400, m=600, seed=31)
+    exact = Reg.create("KDTreeMatcher", {"knn": "1", "epsilon": "0"})
+    approx = Reg.create("KDTreeMatcher", {"knn": "1", "epsilon": "3.16"})
+    exact.init(b)
+    approx.init(b)
+    d0 = np.asarray(exact.find_closests(a).dists)[:, 0]
+    d1 = np.asarray(approx.find_closests(a).dists)[:, 0]
+    f = np.isfinite(d0)
+    assert np.array_equal(f, np.isfinite(d1))
+    # (1 + eps) bound on distances (squared: (1+eps)^2), with slack for
+    # the matmul-form's f32 rounding near zero
+    assert np.all(d1[f] <= (1.0 + 3.16) ** 2 * d0[f] + 1e-5)
