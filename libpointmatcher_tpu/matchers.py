@@ -391,7 +391,7 @@ class BlockGridMatcher(Matcher):
         cand_t, pen, cid = gather_candidates(self._blocks, ta.blocks)
         return (
             {"q_rows": ta.q_rows, "cand_t": cand_t, "pen": pen, "cid": cid,
-             "merge_pos": ta.merge_pos},
+             "parent": ta.parent, "vrows": ta.vrows},
             {},
         )
 
@@ -409,7 +409,7 @@ class BlockGridMatcher(Matcher):
             d1, i1 = tile_nn1_from_candidates(
                 reading.points, reading.mask, aux["q_rows"], aux["cand_t"],
                 aux["pen"], aux["cid"], float(self.maxDist),
-                merge_pos=aux.get("merge_pos"),
+                parent=aux["parent"], vrows=aux["vrows"],
             )
             return Matches(d1[:, None], i1[:, None])
         # pure fallback (engine paths without prepare_loop: vmapped batch,

@@ -62,17 +62,31 @@ class SubBlocks(NamedTuple):
 
 
 class TileAssign(NamedTuple):
-    """Per-registration query tiling (host-built at loop start)."""
+    """Per-registration query tiling (host-built at loop start).
 
-    q_rows: jnp.ndarray   # [T, TQ] query row indices (-1 = pad)
-    blocks: jnp.ndarray   # [T, B] sub-block slots (sentinel S = empty)
+    ``blocks`` is indexed by *virtual* tile (a parent tile whose candidate
+    union exceeds ``block_cap`` is split into consecutive cap-sized
+    chunks). Everything the per-iteration path touches is laid out so the
+    loop needs NO element-granularity gathers — TPU element gathers run
+    at ~127 M elem/s (scalar-core rate; measured 17 ms/iter at batch 8
+    when the merge was a [N, K] gather): queries are gathered once per
+    *parent* tile and expanded to virtual tiles by row-gather
+    (vectorizes), candidate ids resolve inside the kernel, and the
+    vtile→parent merge reads whole consecutive rows (``vbase``)."""
+
+    q_rows: jnp.ndarray   # [Tp, TQ] PARENT-tile query rows (-1 = pad)
+    blocks: jnp.ndarray   # [Tv, B] virtual-tile sub-block slots (S = pad)
     touched: int          # actual (query, candidate) pairs per sweep
-    #: [N, K] flat positions of each query row in the [T·TQ] sweep output
-    #: (-1 = unused slot; rows absent from the assignment are all -1).
-    #: K = max virtual-tile multiplicity. The per-iteration merge is a
-    #: gather + min over K — scatters with colliding indices serialize on
-    #: TPU (measured ~15 ms/iter/batch8 at 57k rows vs <1 ms for this).
-    merge_pos: jnp.ndarray
+    parent: jnp.ndarray   # [Tv] parent tile of each virtual tile
+    #: [K, Tp] virtual-tile row to read at merge step j (clamped to the
+    #: parent's last vtile; candidate-less parents point at the reserved
+    #: all-pad vtile). K is the merge depth — static via the array shape.
+    vrows: jnp.ndarray
+
+    def vtile_q_rows(self) -> jnp.ndarray:
+        """Query rows expanded per VIRTUAL tile [Tv, TQ] (the layout the
+        sharded path slices across devices)."""
+        return self.q_rows[self.parent]
 
 
 def _linearize(coords: np.ndarray, dims) -> np.ndarray:
@@ -176,7 +190,8 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
             q_rows=jnp.full((T, tile_q), -1, jnp.int32),
             blocks=jnp.full((T, B), S, jnp.int32),
             touched=0,
-            merge_pos=jnp.full((len(mask), 1), -1, jnp.int32),
+            parent=jnp.zeros((T,), jnp.int32),
+            vrows=jnp.full((1, T), T - 1, jnp.int32),
         )
 
     coords = np.floor((pts[keep] - sub.origin) / sub.cell_size).astype(np.int64)
@@ -248,65 +263,47 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     u_tile = ukey // (S + 1)
     u_slot = ukey % (S + 1)
 
-    # scatter per-tile block lists. The candidate axis B·SB must be a
-    # multiple of 128 (pallas lane width), and above 2048 a multiple of
-    # 2048 (the kernel's reference chunk): granule-32 ladder values
-    # (32, 48, 64, 96, 128, 192, 256) are all multiples of 16; beyond 256,
-    # round to 256-block multiples.
+    # scatter per-(virtual-)tile block lists. The candidate axis B·SB must
+    # be a multiple of 128 (pallas lane width): the granule-32 ladder
+    # values (32, 48, 64, 96, 128, 192, 256) are all multiples of 16;
+    # beyond 256, round to 256-block multiples.
     t_starts = np.searchsorted(u_tile, np.arange(T_pad))
     t_counts = np.diff(np.concatenate([t_starts, [len(ukey)]]))
     within_t = np.arange(len(ukey)) - np.repeat(t_starts, t_counts)
     capb = max(block_cap // SB, 16)
     maxc = max(int(t_counts.max()), 1)
 
-    if maxc > capb:
-        # virtual-tile split: tile t becomes ceil(count_t / capb) tiles
-        # sharing its query rows; tiles with zero candidates (including the
-        # all-pad tail tiles) contribute none — the gather-merge's
-        # (+inf, -1) fill covers their rows
-        k_t = -(-t_counts // capb)
-        vbase = np.concatenate([[0], np.cumsum(k_t)])
-        Tv = int(k_t.sum())
-        Tv_pad = max(int(bucket_size(max(Tv, 1), granule=16)), pad_tiles_to)
-        parent = np.repeat(np.arange(T_pad), k_t)
-        vq_rows = np.full((Tv_pad, tile_q), -1, np.int64)
-        vq_rows[:Tv] = q_rows[parent]
-        B = max(capb, pad_blocks_to)
-        blocks = np.full((Tv_pad, B), S, np.int64)
-        blocks[vbase[u_tile] + within_t // capb, within_t % capb] = u_slot
-        # merge table: query at flat sorted position p (parent tile t,
-        # offset p % TQ) appears in vtiles vbase[t]..vbase[t]+k_t[t]-1
-        K = max(int(k_t.max()), 1)
-        merge = np.full((len(mask), K), -1, np.int64)
-        p = np.arange(nq)
-        t_of = p // tile_q
-        for j in range(K):
-            has = k_t[t_of] > j
-            merge[rows_sorted[has], j] = (
-                (vbase[t_of[has]] + j) * tile_q + p[has] % tile_q
-            )
-        return TileAssign(
-            q_rows=jnp.asarray(vq_rows, jnp.int32),
-            blocks=jnp.asarray(blocks, jnp.int32),
-            touched=touched,
-            merge_pos=jnp.asarray(merge, jnp.int32),
-        )
-
-    maxc = max(maxc, pad_blocks_to)
-    B = int(bucket_size(maxc, granule=32))
+    # virtual-tile split: parent tile t becomes ceil(count_t / capb)
+    # consecutive virtual tiles (maxc ≤ capb degenerates to one each);
+    # parents with zero candidates point at the reserved all-pad virtual
+    # tile Tv (pen +inf everywhere → (+inf, -1))
+    k_t = -(-t_counts // capb)
+    vbase = np.concatenate([[0], np.cumsum(k_t)])[:-1]
+    Tv = int(k_t.sum())
+    # + 1 reserves the all-pad vtile; bucket granule 16 keeps the tile
+    # axis mesh-divisible (parallel/sharding.py::sharded_tile_nn1)
+    Tv_pad = max(int(bucket_size(Tv + 1, granule=16)), pad_tiles_to)
+    parent = np.zeros(Tv_pad, np.int64)
+    parent[:Tv] = np.repeat(np.arange(T_pad), k_t)
+    B = min(int(bucket_size(maxc, granule=32)), capb)
     if B > 256:
-        B = -(-maxc // 256) * 256
+        B = -(-B // 256) * 256
     B = max(B, pad_blocks_to)
-    blocks = np.full((T_pad, B), S, np.int64)
-    blocks[u_tile, within_t] = u_slot
+    blocks = np.full((Tv_pad, B), S, np.int64)
+    blocks[vbase[u_tile] + within_t // capb, within_t % capb] = u_slot
+    vb = np.full(T_pad, Tv, np.int64)   # Tv = the reserved all-pad vtile
+    has = k_t > 0
+    vb[has] = vbase[has]
+    K = max(int(k_t.max()), 1)
+    last = vb + np.maximum(k_t, 1) - 1
+    vrows = np.minimum(vb[None, :] + np.arange(K)[:, None], last[None, :])
 
-    merge = np.full((len(mask), 1), -1, np.int64)
-    merge[rows_sorted, 0] = np.arange(nq)
     return TileAssign(
         q_rows=jnp.asarray(q_rows, jnp.int32),
         blocks=jnp.asarray(blocks, jnp.int32),
         touched=touched,
-        merge_pos=jnp.asarray(merge, jnp.int32),
+        parent=jnp.asarray(parent, jnp.int32),
+        vrows=jnp.asarray(vrows, jnp.int32),
     )
 
 
@@ -318,10 +315,10 @@ def _gather_candidates(sub_pts, sub_ids, blocks):
     T, B = blocks.shape
     d = sub_pts.shape[-1]
     cand = sub_pts[blocks].reshape(T, B * SB, d)
-    cid = sub_ids[blocks].reshape(T, B * SB)
+    cid = sub_ids[blocks].reshape(T, 1, B * SB)
     cand_t = jnp.zeros((T, _DPAD, B * SB), jnp.float32)
     cand_t = cand_t.at[:, :d, :].set(jnp.swapaxes(cand, 1, 2))
-    pen = jnp.where(cid >= 0, 0.0, jnp.inf)[:, None, :]
+    pen = jnp.where(cid >= 0, 0.0, jnp.inf)
     return cand_t, pen, cid
 
 
@@ -329,7 +326,7 @@ def gather_candidates(sub: SubBlocks, blocks: jnp.ndarray):
     """Materialize a tile assignment's candidate tables, once per
     registration (one jitted device program — eager dispatch costs several
     relay round-trips; measured seconds at 10^5 tiles·slots): returns
-    ``(cand_t [T, 8, B·SB], pen [T, 1, B·SB], cid [T, B·SB])`` in the
+    ``(cand_t [T, 8, B·SB], pen [T, 1, B·SB], cid [T, 1, B·SB])`` in the
     kernel's transposed lane-contiguous layout. Candidates are loop-static,
     so the per-iteration sweep never gathers."""
     return _gather_candidates(sub.pts, sub.ids, blocks)
@@ -370,92 +367,110 @@ def _morton(coords: np.ndarray) -> np.ndarray:
             | (spread2(coords[:, 1]) << np.uint64(1)))
 
 
-_TB = 8  # tiles per grid step
-
-
-def _tile_nn1_kernel(q_ref, rt_ref, pen_ref, out_d_ref, out_i_ref,
+def _tile_nn1_kernel(q_ref, rt_ref, pen_ref, cid_ref, out_d_ref, out_i_ref,
                      acc_d, acc_i, *, dim, nj, tb):
     """Chunked running-min sweep over ``tb`` tiles per grid step (same
-    reduction structure as ops/knn_pallas._nn1_kernel; the per-tile ops
-    are [TQ, 128] — interleaving ``tb`` independent tiles per step
-    amortizes per-chunk issue overhead, measured 5-10x at 256-query
-    tiles). The [TQ, B·SB] distance block lives only in VMEM — the
-    pure-XLA formulation materialized the full [T, TQ, B·SB] tensor to
-    HBM at ≥4·10^5 points (measured 25.8 GB allocation, OOM;
-    tools/large_knn_bench.py)."""
+    reduction structure as ops/knn_pallas._nn1_kernel). All per-chunk ops
+    are 3-D [tb, TQ, 128] broadcasts — the tile axis rides inside one
+    vector op instead of a Python loop, so raising ``tb`` shrinks the
+    grid (the per-step overhead dominated the sweep: 512 grid steps cost
+    ~6 ms/iter at batch 8 regardless of cell count) without growing the
+    instruction stream. The [TQ, B·SB] distance block lives only in VMEM
+    — the pure-XLA formulation materialized the full [T, TQ, B·SB]
+    tensor to HBM at ≥4·10^5 points (measured 25.8 GB allocation, OOM;
+    tools/large_knn_bench.py).
+
+    The candidate's ORIGINAL ROW ID (``cid_ref``) is carried through the
+    running min instead of its flat sweep position: resolving positions
+    to ids afterwards was a [rows] element-gather in XLA — scalar-core
+    rate, 3.3 ms/iter at batch 8 (tools/tile_serve_micro.py trace)."""
     j = pl.program_id(1)
     tile_m = rt_ref.shape[2]
 
     @pl.when(j == 0)
     def _():
         acc_d[:, :, :] = jnp.full_like(acc_d, jnp.inf)
-        acc_i[:, :, :] = jnp.zeros_like(acc_i)
+        acc_i[:, :, :] = jnp.full_like(acc_i, -1)
 
     nch = tile_m // 128
-    for s in range(tb):
-        best_d = acc_d[s, :, :]
-        best_i = acc_i[s, :, :]
-        # hoist the sublane-strided query column extraction out of the
-        # chunk loop — re-slicing per chunk costs a shuffle sequence per
-        # [TQ, 128] op
-        qcols = [q_ref[s, :, c][:, None] for c in range(dim)]
-        for ch in range(nch):
-            sl = slice(ch * 128, (ch + 1) * 128)
-            d2 = pen_ref[s, 0, sl][None, :]
-            for c in range(dim):
-                diff = qcols[c] - rt_ref[s, c, sl][None, :]
-                d2 = d2 + diff * diff
-            idx = jnp.int32(j * tile_m + ch * 128)
-            take = d2 < best_d
-            best_d = jnp.where(take, d2, best_d)
-            best_i = jnp.where(take, idx, best_i)
-        acc_d[s, :, :] = best_d
-        acc_i[s, :, :] = best_i
+    best_d = acc_d[:, :, :]                      # [tb, TQ, 128]
+    best_i = acc_i[:, :, :]
+    qcols = [q_ref[:, :, c][:, :, None] for c in range(dim)]  # [tb, TQ, 1]
+    for ch in range(nch):
+        sl = slice(ch * 128, (ch + 1) * 128)
+        d2 = pen_ref[:, :, sl]                   # [tb, 1, 128] broadcasts
+        for c in range(dim):
+            diff = qcols[c] - rt_ref[:, c, sl][:, None, :]
+            d2 = d2 + diff * diff
+        take = d2 < best_d
+        best_d = jnp.where(take, d2, best_d)
+        best_i = jnp.where(take, cid_ref[:, :, sl], best_i)
+    acc_d[:, :, :] = best_d
+    acc_i[:, :, :] = best_i
 
     @pl.when(j == nj - 1)
     def _():
-        for s in range(tb):
-            bd = acc_d[s, :, :]
-            td = jnp.min(bd, axis=1)
-            lane = jnp.argmin(bd, axis=1).astype(jnp.int32)
-            base = jnp.sum(
-                jnp.where(
-                    jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
-                    == lane[:, None],
-                    acc_i[s, :, :], 0,
-                ),
-                axis=1,
-            )
-            out_d_ref[s, 0, :] = td
-            out_i_ref[s, 0, :] = base + lane
+        bd = acc_d[:, :, :]
+        td = jnp.min(bd, axis=2)                 # [tb, TQ]
+        lane = jnp.argmin(bd, axis=2).astype(jnp.int32)
+        rid = jnp.sum(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, bd.shape, 2)
+                == lane[:, :, None],
+                acc_i[:, :, :], 0,
+            ),
+            axis=2,
+        )
+        out_d_ref[:, 0, :] = td
+        out_i_ref[:, 0, :] = rid
 
 
-def _tile_sweep_pallas(q, cand_t, pen, *, dim):
-    """(q [T, TQ, DPAD], cand_t [T, DPAD, M], pen [T, 1, M]) →
-    per-slot best (dists2 [T, TQ], flat candidate index [T, TQ])."""
+def _pick_tb(T, TQ, tile_m):
+    """Largest tiles-per-step dividing T within a ~10 MB VMEM budget
+    (fewer grid steps = less per-step overhead; see kernel docstring)."""
+    budget = 10 * 2**20
+    for tb in (64, 32, 16, 8):
+        if T % tb:
+            continue
+        need = 4 * tb * (
+            2 * (TQ * _DPAD + _DPAD * tile_m + tile_m)  # double-buffered in
+            + 2 * TQ * 128                              # acc_d + acc_i
+            + 2 * 2 * TQ                                # outputs
+        )
+        if need <= budget:
+            return tb
+    return 8
+
+
+def _tile_sweep_pallas(q, cand_t, pen, cid, *, dim):
+    """(q [T, TQ, DPAD], cand_t [T, DPAD, M], pen [T, 1, M], cid [T, 1, M])
+    → per-tile best (dists2 [T, TQ], candidate ORIGINAL ROW id [T, TQ])."""
     T, TQ, _ = q.shape
     M = cand_t.shape[2]
     tile_m = min(M, 2048)
     assert M % tile_m == 0 and tile_m % 128 == 0, (M, tile_m)
-    assert T % _TB == 0, T  # assign_tiles' granule-16 ladder guarantees it
+    tb = _pick_tb(T, TQ, tile_m)
+    assert T % tb == 0, T  # assign_tiles' granule-16 ladder guarantees it
     nj = M // tile_m
     out_d, out_i = pl.pallas_call(
-        functools.partial(_tile_nn1_kernel, dim=dim, nj=nj, tb=_TB),
-        grid=(T // _TB, nj),
+        functools.partial(_tile_nn1_kernel, dim=dim, nj=nj, tb=tb),
+        grid=(T // tb, nj),
         in_specs=[
-            pl.BlockSpec((_TB, TQ, _DPAD), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((tb, TQ, _DPAD), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, _DPAD, tile_m), lambda t, j: (t, 0, j),
+            pl.BlockSpec((tb, _DPAD, tile_m), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1, tile_m), lambda t, j: (t, 0, j),
+            pl.BlockSpec((tb, 1, tile_m), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, tile_m), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             # unit middle dim: Mosaic wants the last two block dims
             # divisible by (8, 128) or equal to the array dims
-            pl.BlockSpec((_TB, 1, TQ), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((tb, 1, TQ), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TB, 1, TQ), lambda t, j: (t, 0, 0),
+            pl.BlockSpec((tb, 1, TQ), lambda t, j: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -463,76 +478,100 @@ def _tile_sweep_pallas(q, cand_t, pen, *, dim):
             jax.ShapeDtypeStruct((T, 1, TQ), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_TB, TQ, 128), jnp.float32),
-            pltpu.VMEM((_TB, TQ, 128), jnp.int32),
+            pltpu.VMEM((tb, TQ, 128), jnp.float32),
+            pltpu.VMEM((tb, TQ, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(3 * dim + 3) * T * TQ * M,
-            bytes_accessed=4 * T * M * (_DPAD + 1) + 4 * T * TQ * _DPAD,
+            flops=(3 * dim + 4) * T * TQ * M,
+            bytes_accessed=4 * T * M * (_DPAD + 2) + 4 * T * TQ * _DPAD,
             transcendentals=0,
         ),
-    )(q, cand_t, pen)
+    )(q, cand_t, pen, cid)
     return out_d[:, 0, :], out_i[:, 0, :]
 
 
-def _tile_sweep_xla(q, cand_t, pen, *, dim):
+def _tile_sweep_xla(q, cand_t, pen, cid, *, dim):
     """CPU / interpret fallback: per-tile lax.map keeps the distance block
     at [TQ, M] instead of [T, TQ, M]."""
 
     def one(args):
-        qt, ct, pn = args
+        qt, ct, pn, ci = args
         d2 = pn[0][None, :]
         for c in range(dim):
             d2 = d2 + (qt[:, c][:, None] - ct[c, :][None, :]) ** 2
-        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1).astype(jnp.int32)
+        pos = jnp.argmin(d2, axis=1)
+        return jnp.min(d2, axis=1), ci[0][pos]
 
-    return jax.lax.map(one, (q, cand_t, pen))
+    return jax.lax.map(one, (q, cand_t, pen, cid))
+
+
+def _combine_min(md, mi, dj, ij):
+    """Running (min distance, min row id on exact ties) combine — the
+    deterministic merge convention shared with parallel/sharding.py."""
+    big = jnp.int32(np.iinfo(np.int32).max)
+    better = dj < md
+    key_m = jnp.where(mi >= 0, mi, big)
+    key_j = jnp.where(ij >= 0, ij, big)
+    tie_key = jnp.minimum(key_m, key_j)
+    tied = jnp.where(tie_key == big, -1, tie_key)
+    mi = jnp.where(better, ij, jnp.where(dj == md, tied, mi))
+    return jnp.minimum(md, dj), mi
 
 
 def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
-                             max_dist: float, merge_pos=None):
+                             max_dist: float, parent=None, vrows=None):
     """Exact bounded-radius 1-NN through pre-gathered candidate tables
     (traceable; the fused ICP loop's per-iteration matcher call).
 
-    A query row may appear in several *virtual* tiles (block_cap splits,
-    see assign_tiles): the merge takes the min distance across them, then
-    the smallest original row id among exact distance ties (deterministic,
-    matches the sharded merge in parallel/sharding.py). With ``merge_pos``
-    (the assignment's [N, K] flat-position table) the merge is a gather +
-    K-way min; without it, a scatter-min fallback — functionally identical
-    but slow inside the loop (TPU scatters with colliding indices
-    serialize; measured ~15 ms/iter at batch 8 vs <1 ms for the gather)."""
+    Gather discipline (the round-2 lesson — TPU *element* gathers run at
+    scalar-core rate, ~127 M elem/s, and dominated the loop): queries are
+    gathered once per PARENT tile and expanded to virtual tiles with a
+    row gather (vectorizes along the row); candidate row ids resolve
+    inside the kernel; the virtual→parent merge reads whole consecutive
+    rows (``bd[vbase + j]``, ``kmax`` row gathers); the only
+    element-granularity op left is the final unique-index scatter of
+    [Tp·TQ] results onto reading rows.
+
+    Without the parent structure (``parent=None``; the sharded path,
+    which re-slices the virtual-tile axis across devices), ``q_rows``
+    is taken per virtual tile — duplicates allowed — and the merge is a
+    scatter-min with the same (min distance, min row id on ties)
+    convention."""
     from .dispatch import use_pallas
 
     n, d = points.shape
-    T, TQ = q_rows.shape
-    q = jnp.zeros((T, TQ, _DPAD), jnp.float32)
+    Tp, TQ = q_rows.shape
+    q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
     q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
+    if parent is not None:
+        q = q[parent]                                   # [Tv, TQ, DPAD]
 
     sweep = _tile_sweep_pallas if use_pallas() else _tile_sweep_xla
-    bd, pos = sweep(q, cand_t, pen, dim=d)              # [T, TQ]
+    bd, bi = sweep(q, cand_t, pen, cid, dim=d)          # [Tv, TQ] row ids
     bd = jnp.where(bd <= jnp.float32(max_dist) ** 2, bd, jnp.inf)
-    bi = jnp.take_along_axis(cid, pos, axis=1)
     bi = jnp.where(jnp.isfinite(bd), bi, -1)
 
     big = jnp.int32(np.iinfo(np.int32).max)
-    bd_flat = bd.reshape(-1)
-    bi_flat = bi.reshape(-1)
+    flat = q_rows.reshape(-1)
+    ok = flat >= 0
+    idx = jnp.where(ok, flat, n)
 
-    if merge_pos is not None:
-        safe = jnp.maximum(merge_pos, 0)                # [N, K]
-        used = merge_pos >= 0
-        g_d = jnp.where(used, bd_flat[safe], jnp.inf)   # [N, K]
-        g_i = jnp.where(used, bi_flat[safe], -1)
-        out_d = jnp.min(g_d, axis=1)
-        tie = jnp.logical_and(g_d == out_d[:, None], g_i >= 0)
-        out_i = jnp.min(jnp.where(tie, g_i, big), axis=1)
-        out_i = jnp.where(out_i == big, -1, out_i)
+    if parent is not None:
+        # merge each parent's consecutive virtual tiles: K row gathers
+        md, mi = bd[vrows[0]], bi[vrows[0]]             # [Tp, TQ]
+        for j in range(1, vrows.shape[0]):
+            md, mi = _combine_min(md, mi, bd[vrows[j]], bi[vrows[j]])
+        out_d = jnp.full((n,), jnp.inf, jnp.float32).at[idx].set(
+            jnp.where(ok, md.reshape(-1), jnp.inf), mode="drop",
+            unique_indices=True,
+        )
+        out_i = jnp.full((n,), -1, jnp.int32).at[idx].set(
+            jnp.where(ok, mi.reshape(-1), -1), mode="drop",
+            unique_indices=True,
+        )
     else:
-        flat = q_rows.reshape(-1)
-        ok = flat >= 0
-        idx = jnp.where(ok, flat, n)
-        bd_flat = jnp.where(ok, bd_flat, jnp.inf)
+        bd_flat = jnp.where(ok, bd.reshape(-1), jnp.inf)
+        bi_flat = bi.reshape(-1)
         out_d = jnp.full((n,), jnp.inf, jnp.float32).at[idx].min(
             bd_flat, mode="drop"
         )
@@ -556,19 +595,15 @@ def tile_nn1(points: jnp.ndarray, qmask: jnp.ndarray,
              sub_pts: jnp.ndarray, sub_ids: jnp.ndarray,
              max_dist: float):
     """Exact bounded-radius 1-NN of ``points`` [N, d] through the static
-    tile assignment. Convenience form: gathers candidate tables on the fly
-    (the engine pre-gathers once per registration via
-    :func:`gather_candidates` instead — candidates are loop-static).
+    tile assignment, with ``q_rows`` given PER VIRTUAL TILE (duplicates
+    allowed — the sharded path slices this axis across devices).
+    Convenience form: gathers candidate tables on the fly (the engine
+    pre-gathers once per registration via :func:`gather_candidates`
+    instead — candidates are loop-static).
 
     Returns ``(dists2 [N], ids [N])`` with ``(+inf, -1)`` beyond the
     radius, for rows absent from the assignment, and for masked rows."""
-    T, B = blocks.shape
-    d = sub_pts.shape[-1]
-    cand = sub_pts[blocks].reshape(T, B * SB, d)
-    cid = sub_ids[blocks].reshape(T, B * SB)
-    cand_t = jnp.zeros((T, _DPAD, B * SB), jnp.float32)
-    cand_t = cand_t.at[:, :d, :].set(jnp.swapaxes(cand, 1, 2))
-    pen = jnp.where(cid >= 0, 0.0, jnp.inf)[:, None, :]
+    cand_t, pen, cid = _gather_candidates(sub_pts, sub_ids, blocks)
     return tile_nn1_from_candidates(
         points, qmask, q_rows, cand_t, pen, cid, max_dist
     )

@@ -419,27 +419,33 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
     # align per-scan aux shapes (tile/candidate counts differ per scan):
     # pad tiles with -1 query rows (scatter-dropped) and candidate slots
     # with +inf penalty / -1 ids — exact by construction
-    max_t = max(int(p["q_rows"].shape[0]) for p in pers)
+    # parent (query) tiles and virtual (candidate) tiles pad independently
+    max_tp = max(int(p["q_rows"].shape[0]) for p in pers)
+    max_tv = max(int(p["cand_t"].shape[0]) for p in pers)
     max_b = max(int(p["cand_t"].shape[2]) for p in pers)
-    max_k = max(int(p["merge_pos"].shape[1]) for p in pers)
+    max_k = max(int(p["vrows"].shape[0]) for p in pers)
 
     def pad_per(p):
-        dt = max_t - p["q_rows"].shape[0]
+        dtp = max_tp - p["q_rows"].shape[0]
+        dtv = max_tv - p["cand_t"].shape[0]
         dm = max_b - p["cand_t"].shape[2]
-        dk = max_k - p["merge_pos"].shape[1]
-        dn = rows - p["merge_pos"].shape[0]
+        dk = max_k - p["vrows"].shape[0]
         return {
-            "q_rows": jnp.pad(p["q_rows"], ((0, dt), (0, 0)),
+            # padded parent tiles carry -1 query rows (scatter-dropped),
+            # so their vrows/parent pointers may alias any valid row
+            "q_rows": jnp.pad(p["q_rows"], ((0, dtp), (0, 0)),
                               constant_values=-1),
-            "cand_t": jnp.pad(p["cand_t"], ((0, dt), (0, 0), (0, dm))),
-            "pen": jnp.pad(p["pen"], ((0, dt), (0, 0), (0, dm)),
+            "cand_t": jnp.pad(p["cand_t"], ((0, dtv), (0, 0), (0, dm))),
+            "pen": jnp.pad(p["pen"], ((0, dtv), (0, 0), (0, dm)),
                            constant_values=jnp.inf),
-            "cid": jnp.pad(p["cid"], ((0, dt), (0, dm)),
+            "cid": jnp.pad(p["cid"], ((0, dtv), (0, 0), (0, dm)),
                            constant_values=-1),
-            # -1 = unused merge slot: pad-proof across scans whose own
-            # tile counts (hence flat position ranges) differ
-            "merge_pos": jnp.pad(p["merge_pos"], ((0, dn), (0, dk)),
-                                 constant_values=-1),
+            "parent": jnp.pad(p["parent"], ((0, dtv),)),
+            # extra merge depth re-reads the last row (idempotent combine)
+            "vrows": jnp.pad(
+                jnp.pad(p["vrows"], ((0, dk), (0, 0)), mode="edge"),
+                ((0, 0), (0, dtp)),
+            ),
         }
 
     pers = [pad_per(p) for p in pers]
@@ -449,7 +455,7 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
 
     cache_key = (
         "serve_aux", b, rows, reference.num_points, dim,
-        max_t, max_b,
+        max_tp, max_tv, max_b, max_k,
         batch_reading.descriptor_labels(),
         reference.descriptor_labels(),
         seq._config_fingerprint(),

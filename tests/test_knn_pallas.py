@@ -119,14 +119,25 @@ def test_tile_sweep_pallas_kernel_matches_xla(monkeypatch):
     ta = ts.assign_tiles(q, qm, sub, tile_q=128)
     cand_t, pen, cid = ts.gather_candidates(sub, ta.blocks)
 
-    # XLA fallback path (use_pallas False on CPU)
+    # XLA fallback path (use_pallas False on CPU), scatter-merge form
+    # (per-virtual-tile query rows, the sharded path's layout)
     d_x, i_x = ts.tile_nn1_from_candidates(
-        jnp.asarray(q), jnp.asarray(qm), ta.q_rows, cand_t, pen, cid, 0.5
+        jnp.asarray(q), jnp.asarray(qm), ta.vtile_q_rows(), cand_t, pen,
+        cid, 0.5
     )
+    # fast parent-merge form must agree
+    d_f, i_f = ts.tile_nn1_from_candidates(
+        jnp.asarray(q), jnp.asarray(qm), ta.q_rows, cand_t, pen, cid, 0.5,
+        parent=ta.parent, vrows=ta.vrows,
+    )
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_x),
+                               rtol=1e-6, atol=1e-7)
     # force the pallas path (interpret mode)
     monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
     d_p, i_p = ts.tile_nn1_from_candidates(
-        jnp.asarray(q), jnp.asarray(qm), ta.q_rows, cand_t, pen, cid, 0.5
+        jnp.asarray(q), jnp.asarray(qm), ta.q_rows, cand_t, pen, cid, 0.5,
+        parent=ta.parent, vrows=ta.vrows,
     )
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),

@@ -282,13 +282,13 @@ def test_block_grid_virtual_split_exact():
                      "blockCap": "128", "tileQueries": "64"})
     kd.init(b)
     bg.init(b)
-    # confirm the split actually triggered: candidate axis == blockCap
+    # confirm the split actually triggered: candidate axis == blockCap,
+    # several virtual tiles share a parent, and the merge depth is > 1
     aux = bg.prepare_loop(a)
     assert aux["cand_t"].shape[2] == 128
-    # and query rows are duplicated across virtual tiles
-    rows = np.asarray(aux["q_rows"])
-    rows = rows[rows >= 0]
-    assert len(rows) > len(np.unique(rows))
+    par = np.asarray(aux["parent"])
+    assert len(par) > len(np.unique(par))
+    assert aux["vrows"].shape[0] > 1
     m1 = kd.find_closests(a)
     m2 = bg.find_closests_in(a, b, aux=aux)
     d1, i1 = np.asarray(m1.dists)[:, 0], np.asarray(m1.ids)[:, 0]

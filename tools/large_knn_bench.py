@@ -85,11 +85,12 @@ def main():
         # candidate tables as jit ARGUMENTS — closed-over they would be
         # embedded in the program as constants (oversized compile payload)
         f_tile = jax.jit(
-            lambda pts, rows, ct, pn, ci: tile_nn1_from_candidates(
-                pts, qmj, rows, ct, pn, ci, RADIUS)
+            lambda pts, rows, ct, pn, ci, par, vr: tile_nn1_from_candidates(
+                pts, qmj, rows, ct, pn, ci, RADIUS, parent=par, vrows=vr)
         )
-        dt_tile, (td, ti) = timeit(f_tile, qj, ta.q_rows, cand_t, pen, cid)
-        T, TQ = ta.q_rows.shape
+        dt_tile, (td, ti) = timeit(f_tile, qj, ta.q_rows, cand_t, pen, cid,
+                                   ta.parent, ta.vrows)
+        T, TQ = ta.vtile_q_rows().shape
         M = cand_t.shape[2]
         print(f"    tiles T={T} TQ={TQ} M={M} "
               f"padded sweep={T * TQ * M / 1e6:.0f}M cells")

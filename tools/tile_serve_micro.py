@@ -102,43 +102,16 @@ def main():
         rep(pts), rep(q_rows), rep(cand_t), rep(pen), rep(cid))
 
     d = 3
-    # ---- sweep only (q prebuilt)
-    q = jnp.zeros((T, TQ, ts._DPAD), jnp.float32)
-    q = q.at[:, :, :d].set(pts[jnp.maximum(q_rows, 0)])
-    qb = rep(q)
+    parent, vrows = per["parent"], per["vrows"]
 
-    def sweep_only(qb):
-        bd, pos = jax.vmap(
-            lambda qq, cc, pp: ts._tile_sweep_pallas(qq, cc, pp, dim=d)
-        )(qb, cand_b, pen_b)
-        return bd.sum()
-
-    dt = chain_time(sweep_only, qb)
-    print(f"sweep only        {dt * 1e3:8.2f} ms/iter/batch")
-
-    # ---- gather + sweep
-    def gather_sweep(pts_b):
-        def one(p, rows):
-            qq = jnp.zeros((T, TQ, ts._DPAD), jnp.float32)
-            qq = qq.at[:, :, :d].set(p[jnp.maximum(rows, 0)])
-            return qq
-
-        qb = jax.vmap(one)(pts_b, q_rows_b)
-        bd, pos = jax.vmap(
-            lambda qq, cc, pp: ts._tile_sweep_pallas(qq, cc, pp, dim=d)
-        )(qb, cand_b, pen_b)
-        return bd.sum()
-
-    dt = chain_time(gather_sweep, pts_b)
-    print(f"gather + sweep    {dt * 1e3:8.2f} ms/iter/batch")
-
-    # ---- full matcher call (gather + sweep + scatter-min merge)
+    # ---- full matcher call (gather + sweep + parent merge + scatter)
     def full(pts_b):
         def one(p):
             dd, ii = ts.tile_nn1_from_candidates(
-                p, mask, q_rows, cand_t, pen, cid, max_dist
+                p, mask, q_rows, cand_t, pen, cid, max_dist,
+                parent=parent, vrows=vrows,
             )
-            return jnp.where(jnp.isfinite(dd), dd, 0.0).sum()
+            return jnp.where(jnp.isfinite(dd), dd, 0.0).sum() + ii.sum() * 1e-20
 
         return jax.vmap(one)(pts_b).sum()
 
@@ -193,7 +166,7 @@ def step_chain_bench(read_f, ref_f, per, max_dist, iters=20):
                     dd, ii = ts.tile_nn1_from_candidates(
                         stepped.points, stepped.mask, pa["q_rows"],
                         pa["cand_t"], pa["pen"], pa["cid"], max_dist,
-                        merge_pos=pa["merge_pos"],
+                        parent=pa["parent"], vrows=pa["vrows"],
                     )
                 else:
                     dd, ii = knn1_pallas(
