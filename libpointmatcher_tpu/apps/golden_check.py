@@ -23,7 +23,17 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--threshold", type=float, default=0.03)
     p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--out", default="", help="write the full per-config "
+                   "report (margins, timings, backend) as a JSON artifact")
     args = p.parse_args(argv)
+
+    import jax
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     ref = pm.io.load(os.path.join(DATA, "cloud.00000.vtk"))
     data = pm.io.load(os.path.join(DATA, "cloud.00001.vtk"))
@@ -66,6 +76,22 @@ def main(argv=None):
                         "time_s": time.perf_counter() - t0}
         print(f"{'PASS' if ok else 'FAIL'} {name}: {best:.4f}")
     print(json.dumps({"passed": passed, "failed": failed}))
+    if args.out:
+        artifact = {
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "protocol": "reference golden configs, full cloud density "
+                        "(examples/data/icp_data/*.yaml vs committed "
+                        ".ref_trans; median relative point error < "
+                        f"{args.threshold}, utest/utest.cpp:81-160)",
+            "seeds_tried": args.seeds,
+            "passed": passed,
+            "failed": failed,
+            "configs": report,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print("wrote", args.out)
     return 0 if failed == 0 else 1
 
 

@@ -68,6 +68,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
                 ctypes.c_char_p, ctypes.c_long,
             ]
+            lib.pm_covariance_greedy.restype = ctypes.c_long
+            lib.pm_covariance_greedy.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -110,6 +115,24 @@ def parse_floats_n(text: bytes, want: int):
         ctypes.byref(consumed),
     )
     return out[:n], int(consumed.value)
+
+
+def covariance_greedy(mag: np.ndarray, nb: int) -> Optional[np.ndarray]:
+    """CovarianceSampling's sequential greedy pick (compiled; see
+    native/pm_native.cpp::pm_covariance_greedy). ``mag`` is [n, 6]; returns
+    the ``nb`` selected row indices in pick order, or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    mag = np.ascontiguousarray(mag, np.float64)
+    out = np.empty(nb, np.int64)
+    got = lib.pm_covariance_greedy(
+        mag.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        mag.shape[0], nb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return out[:got]
 
 
 def format_floats(values: np.ndarray) -> Optional[bytes]:

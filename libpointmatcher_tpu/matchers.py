@@ -153,11 +153,14 @@ class KDTreeMatcher(Matcher):
     PARAMS = (
         Param("knn", "number of nearest neighbors to consider", int, 1, min=1),
         Param("epsilon", "approximation to use for the nearest-neighbor "
-              "search: 0 = exact sweep; any value > 0 opts into the MXU "
-              "matmul-form kernel on TPU, whose only deviation is "
-              "mis-ranking ~1e-6-relative distance ties — within the "
-              "reference's (1+epsilon) contract for every practical "
-              "epsilon, at ~2x throughput (see ops/dispatch.knn_search)",
+              "search: values >= 1e-5 opt into the MXU matmul-form kernel "
+              "on TPU, whose only deviation is mis-ranking ~1e-6-relative "
+              "distance ties — within the reference's (1+epsilon) "
+              "contract above that floor, at ~2x throughput; values in "
+              "[0, 1e-5) run the exact sweep (the magnitude is otherwise "
+              "unused: the sweep inspects every candidate either way, so "
+              "there is no work-vs-accuracy dial beyond the kernel "
+              "choice; see ops/dispatch.knn_search)",
               float, 0.0, min=0.0),
         Param("searchType", "kd-tree search strategy in the reference "
               "(ignored: search is a tiled sweep)", int, 1, min=0, max=2),

@@ -22,7 +22,12 @@ import os
 from .knn import knn_brute_force
 from .knn_pallas import KNNK_MAX, knn1_pallas, knn1_pallas_mxu, knnk_pallas
 
-__all__ = ["knn_search", "use_pallas"]
+__all__ = ["knn_search", "use_pallas", "MXU_EPSILON_FLOOR"]
+
+# Minimum epsilon for which the MXU matmul-form kernel provably satisfies
+# the (1+epsilon) contract: 10x its measured ~1e-6 relative tie
+# mis-ranking (tools/knn_micro.py).
+MXU_EPSILON_FLOOR = 1e-5
 
 
 @functools.lru_cache(maxsize=8)
@@ -56,17 +61,20 @@ def knn_search(query, query_mask, ref, ref_mask, k: int = 1,
     ``epsilon`` carries libnabo's approximate-search contract (reference:
     MatchersImpl.cpp:86-101, nabo ANN ε: returned neighbors lie within
     (1+ε) of the optimum). ``epsilon == 0`` is the exact VPU
-    difference-form sweep. Any ``epsilon > 0`` opts into the MXU
-    matmul-form kernel (‖q‖²+‖r‖²−2q·r on the systolic array at HIGHEST
-    precision): it can mis-rank only near-exact ties — measured relative
-    distance error ~1e-6, id agreement 0.99995 (tools/knn_micro.py) — so
-    it satisfies the (1+ε) bound for every practical ε, at ~2x the
-    throughput of the exact kernel."""
+    difference-form sweep. ``epsilon >= MXU_EPSILON_FLOOR`` (1e-5) opts
+    into the MXU matmul-form kernel (‖q‖²+‖r‖²−2q·r on the systolic array
+    at HIGHEST precision): its only deviation is mis-ranking near-exact
+    ties — measured relative distance error ~1e-6, id agreement 0.99995
+    (tools/knn_micro.py) — so it satisfies the (1+ε) bound whenever
+    ε ≥ the 1e-5 floor (10x the measured deviation), at ~2x the
+    throughput of the exact kernel. ε in (0, 1e-5) stays on the exact
+    kernel: for such tight tolerances the MXU form's tie mis-ranking
+    could exceed the requested bound."""
     if use_pallas():
         if k == 1:
             impl = (
                 knn1_pallas_mxu
-                if epsilon > 0.0
+                if epsilon >= MXU_EPSILON_FLOOR
                 or os.environ.get("PMTPU_KNN_IMPL", "vpu") == "mxu"
                 else knn1_pallas
             )

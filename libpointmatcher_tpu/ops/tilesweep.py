@@ -270,7 +270,11 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     t_starts = np.searchsorted(u_tile, np.arange(T_pad))
     t_counts = np.diff(np.concatenate([t_starts, [len(ukey)]]))
     within_t = np.arange(len(ukey)) - np.repeat(t_starts, t_counts)
-    capb = max(block_cap // SB, 16)
+    # capb must keep the candidate axis M = capb·SB a multiple of 128
+    # (pallas lane width) when the virtual-tile split makes B == capb:
+    # round down to a multiple of 128 // SB = 16 blocks (blockCap values
+    # that are not multiples of 128, e.g. 1000, are legal per the Param).
+    capb = max((block_cap // SB) // 16 * 16, 16)
     maxc = max(int(t_counts.max()), 1)
 
     # virtual-tile split: parent tile t becomes ceil(count_t / capb)
@@ -561,13 +565,16 @@ def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
         md, mi = bd[vrows[0]], bi[vrows[0]]             # [Tp, TQ]
         for j in range(1, vrows.shape[0]):
             md, mi = _combine_min(md, mi, bd[vrows[j]], bi[vrows[j]])
+        # NOTE: idx is unique over live rows but every pad row shares
+        # idx == n; unique_indices=True would be documented UB there, so
+        # it is deliberately NOT set (mode="drop" discards the pad writes
+        # either way, but only without the uniqueness promise is that
+        # guaranteed semantics rather than luck).
         out_d = jnp.full((n,), jnp.inf, jnp.float32).at[idx].set(
             jnp.where(ok, md.reshape(-1), jnp.inf), mode="drop",
-            unique_indices=True,
         )
         out_i = jnp.full((n,), -1, jnp.int32).at[idx].set(
             jnp.where(ok, mi.reshape(-1), -1), mode="drop",
-            unique_indices=True,
         )
     else:
         bd_flat = jnp.where(ok, bd.reshape(-1), jnp.inf)

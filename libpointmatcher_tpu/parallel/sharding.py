@@ -175,8 +175,9 @@ def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
     scatter-min merge, hence bit-identical to it. Communication is one
     pmin pair over ICI, O(n_dev·N), independent of reference size.
 
-    ``q_rows.shape[0]`` (the tile axis, bucketed on a granule-8 ladder by
-    ``assign_tiles``) must divide the mesh size."""
+    ``q_rows.shape[0]`` (the tile axis, bucketed at granule 16 by
+    ``assign_tiles`` — both parent and virtual tile axes) must divide the
+    mesh size."""
     from ..ops.tilesweep import tile_nn1
 
     n_dev = mesh.shape[axis_name]

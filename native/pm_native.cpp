@@ -1,20 +1,26 @@
-// Native IO acceleration for libpointmatcher_tpu.
+// Native host-side acceleration for libpointmatcher_tpu.
 //
-// The reference implements its file parsers in C++ (reference: IO.cpp, 2353
-// LoC — CSV/VTK/PLY/PCD). Our IO layer is numpy-based, which is fine for
-// binary bodies (np.frombuffer) but slow for large ASCII tables: Python
-// float() parses ~5 MB/s. This translation unit supplies the hot ASCII
-// primitives behind a plain C ABI consumed via ctypes:
+// The reference implements its file parsers and sequential algorithms in
+// C++ (reference: IO.cpp, CovarianceSampling.cpp). Our IO layer is
+// numpy-based, which is fine for binary bodies (np.frombuffer) but slow for
+// large ASCII tables: Python float() parses ~5 MB/s. This translation unit
+// supplies the hot host primitives behind a plain C ABI consumed via
+// ctypes:
 //
-//   pm_parse_floats  — tokenize a delimited ASCII block into float32s
-//   pm_parse_doubles — same, float64
+//   pm_parse_floats        — tokenize a delimited ASCII block into float32s
+//   pm_parse_doubles       — same, float64
+//   pm_covariance_greedy   — CovarianceSampling's sequential stability pick
 //
 // Delimiters: spaces, tabs, CR/LF, commas, semicolons.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <numeric>
+#include <vector>
 
 extern "C" {
 
@@ -113,6 +119,64 @@ long pm_format_floats(const float* values, long rows, long cols,
         out[w++] = '\n';
     }
     return w;
+}
+
+// CovarianceSampling's greedy stability selection (behavioral contract:
+// reference CovarianceSampling.cpp:112-180 — sequential by construction:
+// every pick updates the 6 accumulated constraints that choose the next
+// direction). mag is row-major [n, 6]; writes nb selected row indices to
+// keep, in pick order. Per pick: the least-constrained eigen-direction
+// (argmin of t, first index on ties) takes its not-yet-sampled point of
+// largest |magnitude| (stable descending order). O(6 n log n) sort +
+// O(nb) picks.
+long pm_covariance_greedy(const double* mag, long n, long nb, long* keep) {
+    if (nb > n) nb = n;
+    // Only the top-2·nb candidates per direction can ever be consumed:
+    // pointer k advances past at most nb sampled entries (total picks)
+    // plus its own ≤ nb picks. nth_element to that bound, then sort just
+    // the shortlist — O(n) selection instead of O(n log n) full sorts.
+    const long m = std::min(2 * nb, n);
+    auto better = [mag](int k) {
+        return [mag, k](long a, long b) {
+            double fa = std::fabs(mag[a * 6 + k]);
+            double fb = std::fabs(mag[b * 6 + k]);
+            if (fa != fb) return fa > fb;
+            return a < b;  // deterministic tie order (stable by index)
+        };
+    };
+    std::vector<long> order((size_t)6 * m);
+    std::vector<long> scratch(n);
+    for (int k = 0; k < 6; ++k) {
+        std::iota(scratch.begin(), scratch.end(), 0L);
+        auto cmp = better(k);
+        if (m < n) {
+            std::nth_element(scratch.begin(), scratch.begin() + m,
+                             scratch.end(), cmp);
+        }
+        std::sort(scratch.begin(), scratch.begin() + m, cmp);
+        std::copy(scratch.begin(), scratch.begin() + m,
+                  order.begin() + (size_t)k * m);
+    }
+    std::vector<unsigned char> sampled(n, 0);
+    long ptr[6] = {0, 0, 0, 0, 0, 0};
+    double t[6] = {0, 0, 0, 0, 0, 0};
+    for (long i = 0; i < nb; ++i) {
+        int k = 0;
+        for (int j = 1; j < 6; ++j) {
+            if (t[j] < t[k]) k = j;
+        }
+        const long* ord = order.data() + (size_t)k * m;
+        while (ptr[k] < m && sampled[ord[ptr[k]]]) ++ptr[k];
+        if (ptr[k] >= m) return i;  // unreachable per the 2·nb bound
+        long idx = ord[ptr[k]++];
+        sampled[idx] = 1;
+        for (int j = 0; j < 6; ++j) {
+            double v = mag[idx * 6 + j];
+            t[j] += v * v;
+        }
+        keep[i] = idx;
+    }
+    return nb;
 }
 
 }  // extern "C"

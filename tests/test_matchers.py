@@ -333,3 +333,48 @@ def test_kdtree_epsilon_approximate_contract():
     # (1 + eps) bound on distances (squared: (1+eps)^2), with slack for
     # the matmul-form's f32 rounding near zero
     assert np.all(d1[f] <= (1.0 + 3.16) ** 2 * d0[f] + 1e-5)
+
+
+def test_epsilon_floor_gates_mxu_kernel(monkeypatch):
+    """epsilon below MXU_EPSILON_FLOOR must stay on the exact kernel: the
+    MXU form's ~1e-6 tie mis-ranking would violate a (1+1e-8) contract.
+    Gate tested directly by stubbing the kernels (the CPU fallback never
+    reaches either)."""
+    from libpointmatcher_tpu.ops import dispatch
+
+    calls = []
+    fake = lambda name: (lambda q, qm, r, rm: (calls.append(name),
+                                               (q[:, 0], q[:, 0]))[1])
+    monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
+    monkeypatch.setattr(dispatch, "knn1_pallas", fake("vpu"))
+    monkeypatch.setattr(dispatch, "knn1_pallas_mxu", fake("mxu"))
+    monkeypatch.delenv("PMTPU_KNN_IMPL", raising=False)
+    import jax.numpy as jnp
+
+    q = jnp.zeros((4, 3)); r = jnp.zeros((4, 3))
+    qm = jnp.ones(4, bool); rm = jnp.ones(4, bool)
+    dispatch.knn_search(q, qm, r, rm, k=1, epsilon=0.0)
+    dispatch.knn_search(q, qm, r, rm, k=1, epsilon=1e-8)   # below floor
+    dispatch.knn_search(q, qm, r, rm, k=1, epsilon=1e-5)   # at floor
+    dispatch.knn_search(q, qm, r, rm, k=1, epsilon=3.16)
+    assert calls == ["vpu", "vpu", "mxu", "mxu"]
+
+
+def test_assign_tiles_lane_safe_blockcap():
+    """blockCap values that are not multiples of 128 (legal per the Param,
+    min=128) must still yield a candidate axis B*SB divisible by 128 when
+    the virtual-tile split triggers (advisor round-2 finding: blockCap=1000
+    gave M=1000 and crashed the pallas sweep on TPU)."""
+    from libpointmatcher_tpu.ops.tilesweep import (SB, assign_tiles,
+                                                   build_sub_blocks)
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 4.0, size=(20000, 3)).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    sub = build_sub_blocks(pts, mask, 1.0)
+    for cap in (1000, 128, 130, 999, 2048):
+        ta = assign_tiles(pts, mask, sub, tile_q=64, block_cap=cap)
+        B = ta.blocks.shape[1]
+        assert (B * SB) % 128 == 0, (cap, B)
+        # the split must actually bound the axis near the cap
+        assert B * SB <= max(cap, 128) + 128 * SB
