@@ -300,6 +300,16 @@ class PointCloud:
         out._count_cache = n
         return out
 
+    def host_rows(self):
+        """Raw PADDED host rows ``(points, mask)`` as numpy — row indices
+        match the device layout (``to_numpy`` compacts, which would not).
+        Free for clouds built by ``from_numpy`` (loader output)."""
+        if self._host_cache is not None:
+            pts_h, mask_h, _, _ = self._host_cache
+            return np.asarray(pts_h), np.asarray(mask_h)
+        pts, mask = jax.device_get((self.points, self.mask))
+        return np.asarray(pts), np.asarray(mask)
+
     # -------------------------------------------------------------- numpy IO
     def to_numpy(self):
         """Return (points[N_valid,d], descriptors, times) as numpy, valid rows

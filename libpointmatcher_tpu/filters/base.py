@@ -42,12 +42,35 @@ class DataPointsFilter(Parametrizable):
     #: host work (count-dependent branches, schedules) keep the default.
     TRACEABLE = False
 
+    #: True iff the filter's host work is PURE STRUCTURE derivation
+    #: (:meth:`prepare_host` on numpy rows, no device syncs) followed by a
+    #: jit-safe tail (:meth:`filter_traced`) — the one-shot engine fuses
+    #: such chains into its single-program path. TRACEABLE filters satisfy
+    #: the protocol trivially (aux=None, tail = filter).
+    HOST_PREP = False
+
     def init(self) -> None:
         """Reset per-registration state (reference: DataPointsFilter::init;
         only schedule-carrying filters like FixStepSampling use it)."""
 
     def filter(self, cloud: PointCloud, key: Optional[jax.Array] = None) -> PointCloud:
         raise NotImplementedError
+
+    # ---- host-prep protocol (see HOST_PREP) --------------------------------
+    def prepare_host(self, pts_h, mask_h):
+        """Derive data-dependent structure from padded host rows (numpy).
+        Only meaningful when HOST_PREP or TRACEABLE."""
+        return None
+
+    def filter_traced(self, cloud: PointCloud, aux,
+                      key: Optional[jax.Array] = None) -> PointCloud:
+        """Jit-safe application given :meth:`prepare_host`'s aux."""
+        return self.filter(cloud, key=key)
+
+    def survivor_bound(self, n_valid: int, aux) -> int:
+        """Upper bound on points surviving this filter given aux (used to
+        size static compaction caps); the safe default is no reduction."""
+        return n_valid
 
 
 def apply_filter_chain(

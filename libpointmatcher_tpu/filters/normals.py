@@ -84,13 +84,25 @@ class SurfaceNormalDataPointsFilter(DataPointsFilter):
 
     def filter(self, cloud, key=None):
         d = cloud.dim
-        dists, ids = knn_search(
-            cloud.points, cloud.mask, cloud.points, cloud.mask, k=self.knn
-        )
-        if self.maxDist != float("inf"):
-            keep = dists <= jnp.float32(self.maxDist) ** 2
-            dists = jnp.where(keep, dists, jnp.inf)
-            ids = jnp.where(keep, ids, -1)
+        # Large clouds: the dense self-sweep is O(N²); above the measured
+        # crossover the bounded tile sweep + dense fallback serves the
+        # same exact contract (ops/knn_self.py).
+        from ..ops.knn_self import CULL_MIN_POINTS, knn_self_culled
+
+        if cloud.count_host() >= CULL_MIN_POINTS:
+            dists, ids = knn_self_culled(
+                cloud.points, cloud.mask, k=int(self.knn),
+                max_dist=float(self.maxDist),
+            )
+        else:
+            dists, ids = knn_search(
+                cloud.points, cloud.mask, cloud.points, cloud.mask,
+                k=self.knn
+            )
+            if self.maxDist != float("inf"):
+                keep = dists <= jnp.float32(self.maxDist) ** 2
+                dists = jnp.where(keep, dists, jnp.inf)
+                ids = jnp.where(keep, ids, -1)
         mean, eigva, eigve, count, max_norm = neighborhood_eigens(
             cloud.points, cloud.mask, ids, dists
         )
@@ -196,17 +208,21 @@ def _median_split_boxes(points: np.ndarray, knn: int) -> np.ndarray:
     static_argnames=("num_boxes", "method", "avg", "kn", "kd", "kev",
                      "kevec"),
 )
-def _ssn_device(pts, seg, descs, key, ratio, max_box_dim, first, *,
+def _ssn_device(pts, mask, seg, descs, key, ratio, max_box_dim, first, *,
                 num_boxes, method, avg, kn, kd, kev, kevec):
     """SamplingSurfaceNormal's whole device portion as ONE program.
 
     Eager dispatch of the ~20 segment/eigh ops cost ~5 ms each through the
     TPU relay (measured dominating one-shot latency); fused they are one
-    dispatch. ``num_boxes`` is the bucketed box count (coarse recompile
-    ladder); ``first`` is the per-box first-occurrence row (method 1),
-    padded with n (dropped by the scatter)."""
+    dispatch. Operates on PADDED rows: ``seg`` routes masked rows into a
+    reserved drop segment (``num_boxes - 1``) and ``keep`` is masked, so
+    this tail is jit-safe inside larger programs (the one-shot fused
+    reference-prep path). ``num_boxes`` is the bucketed box count + the
+    drop segment (coarse recompile ladder); ``first`` is the per-box
+    first-occurrence row (method 1), padded with n (dropped by the
+    scatter)."""
     n, d = pts.shape
-    ones = jnp.ones((n,), jnp.float32)
+    ones = mask.astype(jnp.float32)
     counts = jax.ops.segment_sum(ones, seg, num_boxes)  # [B]
     sums = jax.ops.segment_sum(pts, seg, num_boxes)  # [B,d]
     means = sums / jnp.maximum(counts, 1.0)[:, None]
@@ -242,6 +258,7 @@ def _ssn_device(pts, seg, descs, key, ratio, max_box_dim, first, *,
         keep = jnp.zeros((n,), bool).at[first].set(True, mode="drop")
         keep = jnp.logical_and(keep, jnp.logical_not(unfit[seg]))
         new_pts = means[seg]
+        new_pts = jnp.where(mask[:, None], new_pts, pts)
         desc_src = {}
         for k, v in descs.items():
             if avg:
@@ -250,6 +267,7 @@ def _ssn_device(pts, seg, descs, key, ratio, max_box_dim, first, *,
             else:
                 desc_src[k] = v
 
+    keep = jnp.logical_and(keep, mask)
     out = dict(desc_src)
     if kn:
         out["normals"] = normals[seg]
@@ -291,39 +309,62 @@ class SamplingSurfaceNormalDataPointsFilter(DataPointsFilter):
         Param("keepEigenVectors", "add eigen vectors to the output", bool, False),
     )
 
-    def filter(self, cloud, key=None):
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        host_pts, host_descs, host_times = cloud.to_numpy()
-        n = host_pts.shape[0]
-        if n == 0:
-            return cloud
-        box_ids = _median_split_boxes(host_pts, int(self.knn))
-        num_boxes = int(box_ids.max()) + 1
-        # bucket the box count so the fused device program recompiles on a
-        # coarse ladder, not per registration
+    #: host-prep protocol: the data-dependent structure (box split) is
+    #: computed on host, the rest is a jit-safe tail — the one-shot engine
+    #: fuses the tail into its single-program path (see icp.py)
+    HOST_PREP = True
+
+    def prepare_host(self, pts_h: np.ndarray, mask_h: np.ndarray) -> dict:
+        """Median-split box assignment from padded host rows; numpy only,
+        zero device syncs. Returns the aux arrays :meth:`filter_traced`
+        consumes (shapes bucketed so downstream programs recompile on a
+        coarse ladder)."""
         from ..cloud import bucket_size
 
-        nb_pad = int(bucket_size(num_boxes, granule=256))
-
-        first = None
+        n_pad = len(pts_h)
+        valid = np.flatnonzero(mask_h)
+        if len(valid) == 0:
+            return {
+                "seg": np.zeros(n_pad, np.int64),
+                "first": np.full(16, n_pad, np.int64),
+                "num_boxes": 16,
+                "_num_real_boxes": 0,
+            }
+        box_ids = _median_split_boxes(
+            np.asarray(pts_h, np.float64)[valid], int(self.knn)
+        )
+        num_boxes = int(box_ids.max()) + 1
+        # +1 reserves the drop segment for masked rows
+        nb_pad = int(bucket_size(num_boxes + 1, granule=256))
+        seg = np.full(n_pad, nb_pad - 1, np.int64)   # masked rows → drop
+        seg[valid] = box_ids
+        first_pad = np.full(nb_pad, n_pad, dtype=np.int64)  # n_pad → dropped
         if self.samplingMethod != 0:
             # first occurrence of each (compact, 0..B-1) box id — box ids
             # are assigned in sorted order so unique's indices line up
             _, first_idx = np.unique(box_ids, return_index=True)
-            first_pad = np.full(nb_pad, n, dtype=np.int64)  # n → dropped
-            first_pad[: len(first_idx)] = first_idx
-            first = jnp.asarray(first_pad)
+            first_pad[: len(first_idx)] = valid[first_idx]
+        return {
+            "seg": seg,
+            "first": first_pad,
+            "num_boxes": nb_pad,
+            "_num_real_boxes": num_boxes,
+        }
 
+    def filter_traced(self, cloud, aux, key=None):
+        """Jit-safe tail: one fused device computation over padded rows."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
         new_pts, keep, descs = _ssn_device(
-            jnp.asarray(host_pts),
-            jnp.asarray(box_ids),
-            {k: jnp.asarray(v) for k, v in host_descs.items()},
+            cloud.points,
+            cloud.mask,
+            jnp.asarray(aux["seg"]),
+            dict(cloud.descriptors),
             key,
             jnp.float32(self.ratio),
             jnp.float32(self.maxBoxDim),
-            first,
-            num_boxes=nb_pad,
+            jnp.asarray(aux["first"]),
+            num_boxes=int(aux["num_boxes"]),
             method=int(self.samplingMethod),
             avg=bool(self.averageExistingDescriptors),
             kn=bool(self.keepNormals),
@@ -331,12 +372,22 @@ class SamplingSurfaceNormalDataPointsFilter(DataPointsFilter):
             kev=bool(self.keepEigenValues),
             kevec=bool(self.keepEigenVectors),
         )
-        return PointCloud(
-            new_pts,
-            keep,
-            descs,
-            {k: jnp.asarray(v) for k, v in host_times.items()},
-        )
+        return PointCloud(new_pts, keep, descs, dict(cloud.times))
+
+    def survivor_bound(self, n_valid: int, aux: dict) -> int:
+        """Upper bound on surviving points (static compaction cap sizing):
+        method 1 keeps at most one point per real box; method 0's binomial
+        draw stays under mean + 6σ with ~1e-9 tail probability (overflow is
+        detected in-program and falls back, never silently truncated)."""
+        if self.samplingMethod != 0:
+            return int(aux["_num_real_boxes"])
+        p = float(self.ratio)
+        return int(n_valid * p + 6.0 * np.sqrt(n_valid * p * (1 - p)) + 1)
+
+    def filter(self, cloud, key=None):
+        pts_h, mask_h = cloud.host_rows()
+        aux = self.prepare_host(pts_h, mask_h)
+        return self.filter_traced(cloud, aux, key)
 
 
 @_reg

@@ -86,6 +86,9 @@ class ICPChainBase:
         self.max_num_iterations_reached = False
         self.last_stats: Optional[MinimizerStats] = None
         self.last_iteration_count = 0
+        #: True when a bounded-search matcher's motionBound invariant was
+        #: violated during the last registration (see BlockGridMatcher)
+        self.motion_bound_exceeded = False
         #: opt-in convergence acceleration: None or "anderson"
         #: (AA-ICP, \cite{Pavlov2017AAICP}: Anderson acceleration of the
         #: ICP fixed point over se(n) pose vectors, with a residual-increase
@@ -288,6 +291,20 @@ class ICP(ICPChainBase):
 
         key = jax.random.PRNGKey(seed)
         wants_stats = self.inspector.wants_stats
+
+        # ---- single-program one-shot (round-3): when the reference chain
+        # is a host-prep head + traceable tail, its device tail, the static
+        # compaction, the centering, the reading chain, the whole loop AND
+        # the frame composition fuse into ONE program — the per-filter
+        # compaction syncs (~25 ms each through the relay) disappear; the
+        # only host work left is the box split on the (cached) host rows.
+        if self._fused_all_ok(reading, reference):
+            out = self._run_fused_all(reading, reference, T_init, key)
+            if out is not None:
+                return out
+            # compaction-cap overflow (probabilistic sizing): fall through
+            # to the exact eager path below
+
         ref_in_count = reference.count_host() if wants_stats else 0
         reference = apply_filter_chain(
             self.reference_filters, reference, jax.random.fold_in(key, 1)
@@ -407,6 +424,25 @@ class ICP(ICPChainBase):
         self.max_num_iterations_reached = code == CODE_MAX_ITER
         self.last_iteration_count = int(iters)
         self.last_stats = stats
+        # motionBound invariant guard (BlockGridMatcher exactness relies on
+        # no reading point moving farther than motionBound from its
+        # loop-entry pose; the reference's bounded search is never silently
+        # wrong within maxDist, MatchersImpl.cpp:86-101)
+        self.motion_bound_exceeded = False
+        bound = getattr(self.matcher, "motionBound", None)
+        if (bound is not None and stats.motion_max is not None
+                and matcher_aux is not None):
+            motion = float(stats.motion_max)
+            if motion > float(bound):
+                self.motion_bound_exceeded = True
+                log_warning(
+                    f"BlockGridMatcher: max reading-point displacement "
+                    f"bound {motion:.3f} exceeded motionBound "
+                    f"{float(bound):.3f} during the loop — matches beyond "
+                    f"the pre-assigned cell neighborhoods may have been "
+                    f"missed; raise motionBound (cell edge = maxDist + "
+                    f"motionBound) or tighten the prior"
+                )
         if fused and wants_stats:
             # per-matcher touch statistics (reference: MatchersImpl.cpp:86-101
             # accumulates actual kd-tree visit counts): the dense sweep
@@ -513,9 +549,33 @@ class ICP(ICPChainBase):
         )
         stats0 = MinimizerStats(
             jnp.float32(0), jnp.float32(0), jnp.float32(0), cov0,
-            jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.float32(0),
         )
         return T0, checker_states, outlier_states, stats0
+
+    def _motion_tracker(self, reading):
+        """Displacement-bound tracker for bounded-search matchers (the
+        ``motionBound`` exactness invariant, see BlockGridMatcher): returns
+        ``f(T_iter, prev_max) → new_max`` where the displacement of ANY
+        reading point under ``T_iter`` (vs its loop-entry pose, where the
+        tile assignment was built) is bounded by
+        ``2·sin(θ/2)·r_max + ‖t‖ = sqrt(dim − tr R)·r_max + ‖t‖``.
+        The reference's bounded search is never silently wrong within
+        maxDist (MatchersImpl.cpp:86-101); this makes our static-cells
+        equivalent verifiable at runtime."""
+        dim = reading.dim
+        r_max = jnp.max(
+            jnp.where(reading.mask, jnp.linalg.norm(reading.points, axis=1),
+                      0.0)
+        )
+
+        def track(T_new, prev):
+            R = T_new[:dim, :dim]
+            t = T_new[:dim, dim]
+            sigma = jnp.sqrt(jnp.maximum(dim - jnp.trace(R), 0.0))
+            return jnp.maximum(prev, sigma * r_max + jnp.linalg.norm(t))
+
+        return track
 
     # ------------------------------------------------------- fused while_loop
     def make_loop_runner(self):
@@ -530,10 +590,16 @@ class ICP(ICPChainBase):
         if self.acceleration == "anderson":
             return self._make_anderson_runner(step)
 
+        track_motion = type(self.matcher).__name__ == "BlockGridMatcher"
+
         def run_loop(reading, reference, matcher_aux=None):
             dim = reading.dim
             T0, checker_states, outlier_states, stats0 = (
                 self._init_loop_state(dim)
+            )
+            track = (
+                self._motion_tracker(reading)
+                if track_motion and matcher_aux is not None else None
             )
 
             def cond(carry):
@@ -542,12 +608,17 @@ class ICP(ICPChainBase):
 
             def body(carry):
                 T_iter, checker_states, outlier_states, _, iteration, \
-                    code, stats = carry
+                    code, stats_prev = carry
                 T_new, checker_states, outlier_states, iterate, code2, \
                     stats, _, _ = step(
                         reading, reference, T_iter, checker_states,
                         outlier_states, iteration, matcher_aux,
                     )
+                motion = (
+                    track(T_new, stats_prev.motion_max)
+                    if track is not None else stats_prev.motion_max
+                )
+                stats = stats._replace(motion_max=motion)
                 return (
                     T_new, checker_states, outlier_states, iterate,
                     iteration + 1, jnp.maximum(code, code2), stats,
@@ -572,6 +643,7 @@ class ICP(ICPChainBase):
         the KKT normal equations — an m x m system on device) and falls back
         to the plain update whenever the residual norm grows."""
         m = int(self.acceleration_window)
+        track_motion = type(self.matcher).__name__ == "BlockGridMatcher"
 
         def run_loop(reading, reference, matcher_aux=None):
             dim = reading.dim
@@ -579,13 +651,17 @@ class ICP(ICPChainBase):
             T0, checker_states, outlier_states, stats0 = (
                 self._init_loop_state(dim)
             )
+            track = (
+                self._motion_tracker(reading)
+                if track_motion and matcher_aux is not None else None
+            )
 
             def cond(carry):
                 return carry[3]
 
             def body(carry):
                 (T_iter, checker_states, outlier_states, _, iteration, code,
-                 stats, G, F, hist_len, prev_fnorm) = carry
+                 stats_prev, G, F, hist_len, prev_fnorm) = carry
                 T_plain, checker_states, outlier_states, iterate, code2, \
                     stats, _, _ = step(
                         reading, reference, T_iter, checker_states,
@@ -622,6 +698,11 @@ class ICP(ICPChainBase):
                 trust = jnp.linalg.norm(x_acc - g) <= 10.0 * fnorm
                 use_aa = jnp.logical_and(hist_len > 1, trust)
                 T_next = jnp.where(use_aa, T_acc, T_plain)
+                motion = (
+                    track(T_next, stats_prev.motion_max)
+                    if track is not None else stats_prev.motion_max
+                )
+                stats = stats._replace(motion_max=motion)
                 return (
                     T_next, checker_states, outlier_states, iterate,
                     iteration + 1, jnp.maximum(code, code2), stats,
@@ -639,6 +720,185 @@ class ICP(ICPChainBase):
             return T, iters, code, stats
 
         return run_loop
+
+    def _fused_all_ok(self, reading, reference) -> bool:
+        """Eligibility for the single-program one-shot path: traceable
+        reading chain, a reference chain whose first filter may be
+        HOST_PREP (structure on host, tail traced) with every later filter
+        TRACEABLE, a matcher with no init-time acceleration state, and no
+        host-side observability demands."""
+        rf = self.reference_filters
+        return (
+            not self.reading_step_filters
+            and not self.inspector.needs_iteration_data
+            and not self.inspector.wants_stats
+            and chain_is_traceable(self.reading_filters)
+            and type(self.matcher).prepare_loop is Matcher.prepare_loop
+            and type(self.matcher).init is Matcher.init
+            and all(
+                getattr(f, "TRACEABLE", False)
+                or getattr(f, "HOST_PREP", False)
+                for f in rf
+            )
+            and all(getattr(f, "TRACEABLE", False) for f in rf[1:])
+            and not reading.has_descriptor("simpleSensorNoise")
+            and not any(
+                type(f).__name__ == "SimpleSensorNoiseDataPointsFilter"
+                for f in list(self.reading_filters) + list(rf)
+            )
+        )
+
+    def _run_fused_all(self, reading_in, reference_in, T_init, key):
+        """One device program for the ENTIRE one-shot registration
+        (reference: ICP.cpp:265-452 — the pipeline being fused): reference
+        filter tail + static compaction + mean-centering + reading chain +
+        pre-transform + fixed-point loop + frame composition, one dispatch,
+        one readback. Returns the final T, or None on compaction-cap
+        overflow (caller re-runs the exact eager path)."""
+        from .cloud import bucket_size
+
+        t0 = time.perf_counter()
+        pts_h, mask_h = reference_in.host_rows()
+        aux_static = []   # scalar entries: closed over, part of the key
+        aux_arr = []      # array entries: passed as traced runner args
+        bound = int(np.asarray(mask_h, bool).sum())
+        for f in self.reference_filters:
+            aux = (
+                f.prepare_host(pts_h, mask_h)
+                if getattr(f, "HOST_PREP", False) else None
+            )
+            bound = min(f.survivor_bound(bound, aux), bound)
+            if aux is None:
+                aux_static.append(None)
+                aux_arr.append(None)
+            else:
+                # '_'-prefixed aux keys are host-only (survivor_bound
+                # inputs, diagnostics) — not part of the traced program
+                aux_static.append({
+                    k: v for k, v in aux.items()
+                    if not hasattr(v, "shape") and not k.startswith("_")
+                })
+                aux_arr.append({
+                    k: v for k, v in aux.items()
+                    if hasattr(v, "shape") and not k.startswith("_")
+                })
+        n_pad = reference_in.num_points
+        # fine 256-granule cap (not the 1-1.5-2 ladder): the loop pays
+        # O(N·cap_f) every iteration and same-size one-shots share the key
+        cap_f = min(256 * -(-max(bound, 1) // 256), n_pad)
+        del bucket_size
+
+        aux_shapes = tuple(
+            None if s is None else (
+                tuple(sorted(s.items())),
+                tuple(sorted((k, np.asarray(v).shape)
+                             for k, v in a.items())),
+            )
+            for s, a in zip(aux_static, aux_arr)
+        )
+        cache_key = (
+            "fused_all",
+            reading_in.num_points, n_pad, cap_f, reading_in.dim,
+            reading_in.descriptor_labels(), reference_in.descriptor_labels(),
+            aux_shapes,
+            self._config_fingerprint(),
+            tuple(
+                (type(f).__name__, tuple(sorted(f.parameters.items())))
+                for f in list(self.reading_filters) + list(self.reference_filters)
+            ),
+        )
+        runner = self._jit_cache.get(cache_key)
+        if runner is None:
+            reading_filters = tuple(self.reading_filters)
+            reference_filters = tuple(self.reference_filters)
+            transformations = tuple(self.transformations)
+            run_loop = self.make_loop_runner()
+            dim = reference_in.dim
+            statics = tuple(
+                None if s is None else dict(s) for s in aux_static
+            )
+
+            def full(reading_in, reference_in, aux_arrays, T_init, key):
+                kf = jax.random.fold_in(key, 1)
+                kr = jax.random.fold_in(key, 2)
+                ref = reference_in
+                for i, f in enumerate(reference_filters):
+                    aux_i = (
+                        None if aux_arrays[i] is None
+                        else {**statics[i], **aux_arrays[i]}
+                    )
+                    ref = f.filter_traced(
+                        ref, aux_i, jax.random.fold_in(kf, i)
+                    )
+                ref_count = ref.count()
+                overflow = ref_count > cap_f
+                ref = ref.compact_traced(cap_f)
+                mean = jnp.sum(
+                    jnp.where(ref.mask[:, None], ref.points, 0.0), axis=0
+                ) / jnp.maximum(ref.count(), 1)
+                ref = ref.replace(points=ref.points - mean[None, :])
+                Trm = jnp.eye(
+                    dim + 1, dtype=jnp.float32
+                ).at[:dim, dim].set(mean)
+                reading = apply_filter_chain_traced(
+                    reading_filters, reading_in, kr
+                )
+                read_count = reading.count()
+                T_rmd = se3.inverse(Trm) @ T_init
+                reading = _apply_transform(transformations, reading, T_rmd)
+                T, iters, code, stats = run_loop(reading, ref, None)
+                T_final = Trm @ T @ T_rmd
+                return (T_final, iters, code, stats, read_count, ref_count,
+                        overflow)
+
+            runner = jax.jit(full)
+            self._jit_cache[cache_key] = runner
+
+        aux_arrays = tuple(
+            None if a is None
+            else {k: jnp.asarray(v) for k, v in a.items()}
+            for a in aux_arr
+        )
+        T_final, d_iters, d_code, d_stats, read_count, ref_count, overflow = \
+            runner(reading_in, reference_in, aux_arrays, T_init, key)
+
+        # one synchronized pull for everything the host needs
+        iters, code, stats, read_count, ref_count, overflow = jax.device_get(
+            (d_iters, d_code, d_stats, read_count, ref_count, overflow)
+        )
+        if bool(overflow):
+            return None
+        self.prefiltered_reading_pts_count = int(read_count)
+        self.prefiltered_reference_pts_count = int(ref_count)
+        code = int(code)
+        self.max_num_iterations_reached = code == CODE_MAX_ITER
+        self.last_iteration_count = int(iters)
+        self.last_stats = stats
+        self.last_overlap = None
+        self.motion_bound_exceeded = False
+        if code == CODE_NAN_ERROR:
+            raise ConvergenceError("abs rotation/translation norm not a number")
+        if code == CODE_BOUND_ERROR:
+            raise ConvergenceError(
+                "transformation bound exceeded (BoundTransformationChecker)"
+            )
+        if code == CODE_NO_INLIERS:
+            raise ConvergenceError("ErrorMinimizer: no point to minimize")
+        self.inspector.add_stat("IterationsCount", int(iters))
+        self.inspector.add_stat(
+            "PointCountTouched", self.matcher.get_visit_count()
+        )
+        self.matcher.reset_visit_count()
+        self.inspector.add_stat("OverlapRatio", self.get_overlap())
+        self.inspector.add_stat(
+            "ConvergenceDuration", time.perf_counter() - t0
+        )
+        self.inspector.finish(int(iters))
+        log_info(
+            f"PointMatcher::icp - {int(iters)} iterations took "
+            f"{time.perf_counter() - t0:.4f} s"
+        )
+        return T_final
 
     def _run_fused_prep(self, reading_in, reference, T_refMean_dataIn,
                         prep_key, loop_key):

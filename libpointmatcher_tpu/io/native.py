@@ -73,6 +73,25 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_long),
             ]
+            dptr = ctypes.POINTER(ctypes.c_double)
+            lib.pm_kdtree_build.restype = ctypes.c_void_p
+            lib.pm_kdtree_build.argtypes = [dptr, ctypes.c_long]
+            lib.pm_kdtree_free.restype = None
+            lib.pm_kdtree_free.argtypes = [ctypes.c_void_p]
+            lib.pm_kdtree_knn.restype = None
+            lib.pm_kdtree_knn.argtypes = [
+                ctypes.c_void_p, dptr, ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
+            lib.pm_cpu_normals.restype = None
+            lib.pm_cpu_normals.argtypes = [
+                ctypes.c_void_p, dptr, ctypes.c_long, ctypes.c_long, dptr,
+            ]
+            lib.pm_icp_cpu_register.restype = None
+            lib.pm_icp_cpu_register.argtypes = [
+                ctypes.c_void_p, dptr, dptr, dptr, ctypes.c_long,
+                ctypes.c_long, ctypes.c_double, dptr,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -133,6 +152,65 @@ def covariance_greedy(mag: np.ndarray, nb: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     return out[:got]
+
+
+class CpuBaseline:
+    """Compiled single-thread CPU ICP baseline (native/pm_native.cpp:
+    kd-tree 1-NN + trim + point-to-plane solve) — the benchmark's stand-in
+    for the reference's compiled loop. ``None``-safe: use
+    :func:`cpu_baseline` to construct."""
+
+    def __init__(self, lib, ref_pts: np.ndarray):
+        self._lib = lib
+        self._ref = np.ascontiguousarray(ref_pts, np.float64)
+        ptr = self._ref.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        self._h = lib.pm_kdtree_build(ptr, len(self._ref))
+        self._normals = None
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.pm_kdtree_free(self._h)
+        except Exception:
+            pass
+
+    def compute_normals(self, k: int = 10) -> np.ndarray:
+        out = np.empty_like(self._ref)
+        self._lib.pm_cpu_normals(
+            self._h,
+            self._ref.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(self._ref), k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        self._normals = out
+        return out
+
+    def register(self, src_pts: np.ndarray, iterations: int,
+                 trim: float = 0.85, T_init=None) -> np.ndarray:
+        if self._normals is None:
+            self.compute_normals()
+        src = np.ascontiguousarray(src_pts, np.float64)
+        T = np.ascontiguousarray(
+            np.eye(4) if T_init is None else T_init, np.float64
+        )
+        dp = ctypes.POINTER(ctypes.c_double)
+        self._lib.pm_icp_cpu_register(
+            self._h,
+            self._ref.ctypes.data_as(dp),
+            self._normals.ctypes.data_as(dp),
+            src.ctypes.data_as(dp), len(src), iterations, trim,
+            T.ctypes.data_as(dp),
+        )
+        return T
+
+
+def cpu_baseline(ref_pts: np.ndarray) -> Optional[CpuBaseline]:
+    """Build the compiled CPU baseline over a reference cloud, or None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return CpuBaseline(lib, ref_pts)
 
 
 def format_floats(values: np.ndarray) -> Optional[bytes]:

@@ -297,10 +297,13 @@ class CellGridMatcher(Matcher):
 
 @MatcherRegistrar.register
 class BlockGridMatcher(Matcher):
-    """Bounded-radius 1-NN via the tile sweep — the large-cloud / serving
-    matcher built for the fused loop (extension beyond the reference
-    registry; see ops/tilesweep.py for the design and ops/cellblocks.py
-    for the earlier per-cell-padded variant it supersedes).
+    """Bounded-radius k-NN (k ≤ 16) via the tile sweep — the large-cloud /
+    serving matcher built for the fused loop (extension beyond the
+    reference registry; see ops/tilesweep.py for the design and
+    ops/cellblocks.py for the earlier per-cell-padded variant it
+    supersedes). knn is a free parameter like the reference matcher
+    contract (MatchersImpl.h:69-120); k = 1 runs the running-min kernel,
+    k > 1 the running-top-k kernel at ~k× the per-cell cost.
 
     Unlike :class:`CellGridMatcher` (per-point neighbor gathers, measured
     random-gather-bound on TPU), this matcher does dense tile sweeps with
@@ -318,8 +321,9 @@ class BlockGridMatcher(Matcher):
     """
 
     PARAMS = (
-        Param("knn", "number of nearest neighbors (this matcher supports 1)",
-              int, 1, min=1, max=1),
+        Param("knn", "number of nearest neighbors to consider (the tile "
+              "sweep serves k<=16 fused; per-iteration cost grows ~k)",
+              int, 1, min=1, max=16),
         Param("maxDist", "maximum distance to consider for neighbors "
               "(required finite)", float, 1.0, min=0.0000001),
         Param("motionBound", "upper bound on how far any reading point "
@@ -407,6 +411,16 @@ class BlockGridMatcher(Matcher):
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:
         if aux is not None and tuple(ref.points.shape) == self._ref_shape:
+            if self.knn > 1:
+                from .ops.tilesweep import tile_knnk_from_candidates
+
+                dk, ik = tile_knnk_from_candidates(
+                    reading.points, reading.mask, aux["q_rows"],
+                    aux["cand_t"], aux["pen"], aux["cid"],
+                    float(self.maxDist), parent=aux["parent"],
+                    vrows=aux["vrows"], k=int(self.knn),
+                )
+                return Matches(dk, ik)
             from .ops.tilesweep import tile_nn1_from_candidates
 
             d1, i1 = tile_nn1_from_candidates(

@@ -43,6 +43,11 @@ class MinimizerStats(NamedTuple):
     # defaults so importing the package does not touch the JAX backend
     nb_rejected_matches: object = 0
     nb_rejected_points: object = 0
+    # running max over iterations of the displacement bound any reading
+    # point can have undergone vs its initial pose (tracked by the fused
+    # loop when a bounded-search matcher declares a motionBound; None on
+    # paths that do not track it — see icp.make_loop_runner)
+    motion_max: object = None
 
 
 class Pairs(NamedTuple):

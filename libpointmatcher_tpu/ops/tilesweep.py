@@ -41,7 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["SubBlocks", "TileAssign", "build_sub_blocks", "assign_tiles",
-           "gather_candidates", "tile_nn1", "tile_nn1_from_candidates"]
+           "gather_candidates", "tile_nn1", "tile_nn1_from_candidates",
+           "tile_knnk_from_candidates", "TILE_KNN_MAX"]
+
+#: largest k served by the tile-sweep top-k kernel (matches the dense
+#: kernel's KNNK_MAX; per-chunk extraction cost grows ~linearly in k)
+TILE_KNN_MAX = 16
 
 SB = 8  # sub-block rows (f32 sublane width)
 
@@ -299,8 +304,13 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     has = k_t > 0
     vb[has] = vbase[has]
     K = max(int(k_t.max()), 1)
+    # merge rows beyond a parent's own vtile count point at the reserved
+    # all-pad vtile (all +inf): a no-op for the 1-NN min merge AND for the
+    # k-list merge — clamping to the parent's last vtile instead would
+    # merge the same sorted list twice, duplicating entries in a k-list
+    vcand = vb[None, :] + np.arange(K)[:, None]
     last = vb + np.maximum(k_t, 1) - 1
-    vrows = np.minimum(vb[None, :] + np.arange(K)[:, None], last[None, :])
+    vrows = np.where(vcand <= last[None, :], vcand, Tv)
 
     return TileAssign(
         q_rows=jnp.asarray(q_rows, jnp.int32),
@@ -594,6 +604,194 @@ def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
 
     out_d = jnp.where(qmask, out_d, jnp.inf)
     out_i = jnp.where(qmask, out_i, -1)
+    return out_d, out_i
+
+
+def _tile_nnk_kernel(q_ref, rt_ref, pen_ref, cid_ref, out_d_ref, out_i_ref,
+                     *, dim, k):
+    """Per-tile fused top-k — structurally the PROVEN dense k-NN kernel
+    (ops/knn_pallas._nnk_kernel: per grid step, k extraction passes of
+    (row-min, argmin, mask-out) over a 2-D [TQ, TM] block, merged with the
+    running sorted top-k held in the revisited output block). The only
+    delta is id resolution: candidates carry ORIGINAL ROW IDS (``cid``),
+    pulled by one-hot select-sum at each extraction. All-2-D on purpose:
+    a 3-D tb-batched chunked variant of this body made the Mosaic
+    compiler blow past its memory limit (SIGKILL) at 8k queries."""
+    j = pl.program_id(1)
+    tile_q = q_ref.shape[0]
+    tile_m = rt_ref.shape[1]
+
+    d2 = pen_ref[0]  # [1, TM] +inf penalty for pad candidate rows
+    for c in range(dim):
+        diff = q_ref[:, c][:, None] - rt_ref[c, :][None, :]
+        d2 = d2 + diff * diff
+    d2 = jnp.broadcast_to(d2, (tile_q, tile_m))
+    cidb = jnp.broadcast_to(cid_ref[0], (tile_q, tile_m))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_m), 1)
+    tile_d = []
+    tile_i = []
+    for _ in range(k):
+        td = jnp.min(d2, axis=1)  # [TQ]
+        tpos = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        hit = col == tpos[:, None]
+        tile_d.append(td)
+        tile_i.append(jnp.sum(jnp.where(hit, cidb, 0), axis=1))
+        d2 = jnp.where(hit, jnp.inf, d2)
+    cand_d = jnp.stack(tile_d, axis=1)  # [TQ, k], ascending
+    cand_i = jnp.stack(tile_i, axis=1)
+    # +inf extractions (exhausted tile) must surface id -1, not a stale
+    # pad-row cid
+    cand_i = jnp.where(jnp.isfinite(cand_d), cand_i, -1)
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[:, :] = cand_d
+        out_i_ref[:, :] = cand_i
+
+    @pl.when(j > 0)
+    def _():
+        md = jnp.concatenate([out_d_ref[:, :], cand_d], axis=1)  # [TQ, 2k]
+        mi = jnp.concatenate([out_i_ref[:, :], cand_i], axis=1)
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (tile_q, 2 * k), 1)
+        new_d = []
+        new_i = []
+        for _ in range(k):
+            td = jnp.min(md, axis=1)
+            tpos = jnp.argmin(md, axis=1).astype(jnp.int32)
+            hit = col2 == tpos[:, None]
+            new_d.append(td)
+            new_i.append(jnp.sum(jnp.where(hit, mi, 0), axis=1))
+            md = jnp.where(hit, jnp.inf, md)
+        out_d_ref[:, :] = jnp.stack(new_d, axis=1)
+        out_i_ref[:, :] = jnp.stack(new_i, axis=1)
+
+
+def _tile_sweep_pallas_k(q, cand_t, pen, cid, *, dim, k):
+    """Top-k form of :func:`_tile_sweep_pallas`: → (dists2 [T, k, TQ],
+    row ids [T, k, TQ]), ascending along the k axis.
+
+    Layouts are flattened to 2-D ([T·TQ, DPAD] queries, [T·DPAD, M]
+    candidates) so the kernel is byte-for-byte the dense k-NN body with a
+    per-tile candidate table — see the kernel docstring for why 2-D."""
+    T, TQ, _ = q.shape
+    M = cand_t.shape[2]
+    tile_m = min(M, 2048)
+    assert M % tile_m == 0 and tile_m % 128 == 0, (M, tile_m)
+    nj = M // tile_m
+    q2 = q.reshape(T * TQ, _DPAD)
+    rt2 = cand_t.reshape(T * _DPAD, M)
+    # pen/cid stay [T, 1, M]: a 2-D (1, tile_m) block over [T, M] violates
+    # the Mosaic block rule (second-to-last dim 1 neither multiple of 8
+    # nor the array dim); with the unit middle dim it IS the array dim
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_tile_nnk_kernel, dim=dim, k=k),
+        grid=(T, nj),
+        in_specs=[
+            pl.BlockSpec((TQ, _DPAD), lambda t, j: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DPAD, tile_m), lambda t, j: (t, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_m), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_m), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TQ, k), lambda t, j: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, k), lambda t, j: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T * TQ, k), jnp.float32),
+            jax.ShapeDtypeStruct((T * TQ, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * dim + 6 * k) * T * TQ * M,
+            bytes_accessed=4 * T * M * (_DPAD + 2) + 4 * T * TQ * _DPAD
+            + 8 * T * TQ * k * nj,
+            transcendentals=0,
+        ),
+    )(q2, rt2, pen, cid)
+    out_d = jnp.swapaxes(out_d.reshape(T, TQ, k), 1, 2)
+    out_i = jnp.swapaxes(out_i.reshape(T, TQ, k), 1, 2)
+    return out_d, out_i
+
+
+def _tile_sweep_xla_k(q, cand_t, pen, cid, *, dim, k):
+    """CPU / interpret fallback for the top-k sweep."""
+
+    def one(args):
+        qt, ct, pn, ci = args
+        d2 = pn[0][None, :]
+        for c in range(dim):
+            d2 = d2 + (qt[:, c][:, None] - ct[c, :][None, :]) ** 2
+        negd, pos = jax.lax.top_k(-d2, k)        # [TQ, k] ascending dist
+        return (-negd).T, ci[0][pos].T           # [k, TQ]
+
+    return jax.lax.map(one, (q, cand_t, pen, cid))
+
+
+def _merge_sorted_k(ad, ai, bd_, bi_):
+    """Merge two per-query sorted k-lists [..., k, TQ] → k smallest.
+    Candidate ids are disjoint across virtual tiles (each candidate
+    sub-block lives in exactly one), so no dedup is needed."""
+    k = ad.shape[-2]
+    outs_d = [ad[..., s, :] for s in range(k)]
+    outs_i = [ai[..., s, :] for s in range(k)]
+    for t in range(k):
+        cd, ci = bd_[..., t, :], bi_[..., t, :]
+        for s in range(k):
+            take = cd < outs_d[s]
+            nd = jnp.where(take, cd, outs_d[s])
+            ni = jnp.where(take, ci, outs_i[s])
+            cd = jnp.where(take, outs_d[s], cd)
+            ci = jnp.where(take, outs_i[s], ci)
+            outs_d[s], outs_i[s] = nd, ni
+    return jnp.stack(outs_d, axis=-2), jnp.stack(outs_i, axis=-2)
+
+
+def tile_knnk_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
+                              max_dist: float, parent, vrows, k: int):
+    """Exact bounded-radius k-NN through pre-gathered candidate tables —
+    the k>1 form of :func:`tile_nn1_from_candidates` (the reference
+    matcher contract has knn as a free parameter, MatchersImpl.h:69-120).
+    Returns ``(dists2 [N, k], ids [N, k])`` ascending per row, (+inf, -1)
+    beyond the radius / missing. Requires the parent structure (the
+    engine path); the sharded tile path stays 1-NN."""
+    from .dispatch import use_pallas
+
+    n, d = points.shape
+    Tp, TQ = q_rows.shape
+    q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
+    q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
+    q = q[parent]                                       # [Tv, TQ, DPAD]
+
+    sweep = _tile_sweep_pallas_k if use_pallas() else _tile_sweep_xla_k
+    bd, bi = sweep(q, cand_t, pen, cid, dim=d, k=k)     # [Tv, k, TQ]
+    keep = bd <= jnp.float32(max_dist) ** 2
+    bd = jnp.where(keep, bd, jnp.inf)
+    bi = jnp.where(keep, bi, -1)
+
+    # merge each parent's consecutive virtual tiles (disjoint candidates)
+    md, mi = bd[vrows[0]], bi[vrows[0]]                 # [Tp, k, TQ]
+    for j in range(1, vrows.shape[0]):
+        md, mi = _merge_sorted_k(md, mi, bd[vrows[j]], bi[vrows[j]])
+
+    flat = q_rows.reshape(-1)
+    ok = flat >= 0
+    idx = jnp.where(ok, flat, n)
+    upd_d = jnp.swapaxes(md, 1, 2).reshape(-1, k)       # [Tp·TQ, k]
+    upd_i = jnp.swapaxes(mi, 1, 2).reshape(-1, k)
+    out_d = jnp.full((n, k), jnp.inf, jnp.float32).at[idx].set(
+        jnp.where(ok[:, None], upd_d, jnp.inf), mode="drop",
+    )
+    out_i = jnp.full((n, k), -1, jnp.int32).at[idx].set(
+        jnp.where(ok[:, None], upd_i, -1), mode="drop",
+    )
+    out_d = jnp.where(qmask[:, None], out_d, jnp.inf)
+    out_i = jnp.where(qmask[:, None], out_i, -1)
     return out_d, out_i
 
 

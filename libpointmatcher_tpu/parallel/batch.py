@@ -83,6 +83,27 @@ def register_batch(
     if T_inits is None:
         T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
 
+    # Fused pair prep: when BOTH filter chains are traceable (e.g. the
+    # official Besl92 solution: MinDist + RandomSampling on both sides),
+    # the per-pair chains, centerings, pre-transforms, loops and frame
+    # compositions are ONE device program — the eval sweep's host prep
+    # (measured ~seconds/pair through per-filter compaction syncs) drops
+    # to one probe sync per (shape, config). Untraceable chains (Chen91's
+    # SamplingSurfaceNormal reference side) keep the per-pair path below
+    # (reference: eval_solution.cpp:125-131, the sweep this accelerates).
+    fused = (
+        mesh is None
+        and chain_is_traceable(icp.reading_filters)
+        and chain_is_traceable(icp.reference_filters)
+        and not icp.reading_step_filters
+        and type(icp.matcher).prepare_loop is Matcher.prepare_loop
+    )
+    if fused:
+        out = _register_batch_fused(icp, readings, references, T_inits, seed)
+        if out is not None:
+            return out
+        # overflow of a probed compaction cap: recompute exactly below
+
     prepped_readings: List[PointCloud] = []
     prepped_references: List[PointCloud] = []
     T_refIn_refMean: List[np.ndarray] = []
@@ -148,6 +169,139 @@ def register_batch(
     return _finish_batch(
         icp, b, T_iter, iters, codes, stats, T_refIn_refMean, T_refMean_dataIn
     )
+
+
+def _probe_cap(icp, filters, cloud, rows, seed, tag):
+    """Keep-rate probe for a traceable chain, cached per (shape, config):
+    returns a static row capacity covering the batch's padded rows at the
+    observed keep rate + headroom (same sizing rule as serving's
+    compact_rows='auto')."""
+    cap_key = (
+        tag, rows,
+        icp._config_fingerprint(),
+        tuple(
+            (type(f).__name__, tuple(sorted(f.parameters.items())))
+            for f in filters
+        ),
+    )
+    cap = icp._jit_cache.get(cap_key)
+    if cap is None:
+        probe = apply_filter_chain_traced(
+            tuple(filters), cloud,
+            jax.random.fold_in(jax.random.PRNGKey(seed), 0),
+        )
+        n, n_in = (
+            int(v) for v in np.asarray(jax.device_get(
+                jnp.stack([jnp.sum(probe.mask), cloud.count()])
+            ))
+        )
+        keep_rate = n / max(n_in, 1)
+        cap = min(rows, 512 * -(-int(keep_rate * rows * 1.08 + 512) // 512))
+        icp._jit_cache[cap_key] = cap
+    return None if cap >= rows else cap
+
+
+def _register_batch_fused(icp, readings, references, T_inits, seed):
+    """One-program pair-parallel path (see register_batch): per-pair filter
+    chains + centering + pre-transform + fixed-point loop + frame
+    composition, vmapped. Returns None when a probed compaction cap
+    overflowed (caller recomputes via the exact per-pair path)."""
+    from ..icp import _apply_transform
+
+    b = len(readings)
+    dim = readings[0].dim
+    batch_reading = _stack_clouds_padded(readings)
+    batch_reference = _stack_clouds_padded(references)
+    rows_r = batch_reading.points.shape[-2]
+    rows_f = batch_reference.points.shape[-2]
+    T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
+
+    cap_r = _probe_cap(icp, icp.reading_filters, readings[0], rows_r,
+                       seed, "pair_cap_r")
+    cap_f = _probe_cap(icp, icp.reference_filters, references[0], rows_f,
+                       seed, "pair_cap_f")
+
+    cache_key = (
+        "batch_fused", b, rows_r, rows_f, cap_r, cap_f, dim,
+        batch_reading.descriptor_labels(),
+        batch_reference.descriptor_labels(),
+        icp._config_fingerprint(),
+        tuple(
+            (type(f).__name__, tuple(sorted(f.parameters.items())))
+            for f in list(icp.reading_filters) + list(icp.reference_filters)
+        ),
+    )
+    runner = icp._jit_cache.get(cache_key)
+    if runner is None:
+        reading_filters = tuple(icp.reading_filters)
+        reference_filters = tuple(icp.reference_filters)
+        transformations = tuple(icp.transformations)
+        run_loop = icp.make_loop_runner()
+
+        def full(batch_reading, batch_reference, T_inits_b, seed_):
+            key = jax.random.PRNGKey(seed_)
+
+            def prep(reading, reference, T_init, i):
+                kr = jax.random.fold_in(key, 2 * i)
+                kf = jax.random.fold_in(key, 2 * i + 1)
+                reference = apply_filter_chain_traced(
+                    reference_filters, reference, kf
+                )
+                overflow = jnp.bool_(False)
+                if cap_f is not None:
+                    overflow = reference.count() > cap_f
+                    reference = reference.compact_traced(cap_f)
+                mean = jnp.sum(
+                    jnp.where(reference.mask[:, None], reference.points, 0.0),
+                    axis=0,
+                ) / jnp.maximum(reference.count(), 1)
+                reference = reference.replace(
+                    points=reference.points - mean[None, :]
+                )
+                Trm = jnp.eye(
+                    dim + 1, dtype=jnp.float32
+                ).at[:dim, dim].set(mean)
+                reading = apply_filter_chain_traced(
+                    reading_filters, reading, kr
+                )
+                if cap_r is not None:
+                    overflow = jnp.logical_or(
+                        overflow, reading.count() > cap_r
+                    )
+                    reading = reading.compact_traced(cap_r)
+                T_rmd = se3.inverse(Trm) @ T_init
+                reading = _apply_transform(transformations, reading, T_rmd)
+                return reading, reference, Trm, T_rmd, overflow
+
+            # split vmaps (the serving lesson: fusing prep into the same
+            # per-pair closure as the while_loop pulls prep into the body)
+            pr, pf, Trm_b, Trd_b, overflow = jax.vmap(
+                prep, in_axes=(0, 0, 0, 0)
+            )(batch_reading, batch_reference, T_inits_b, jnp.arange(b))
+            T_iter, iters, code, stats = jax.vmap(run_loop)(pr, pf)
+            T_out = jnp.einsum("bij,bjk,bkl->bil", Trm_b, T_iter, Trd_b)
+            return T_out, iters, code, stats, overflow
+
+        runner = jax.jit(full)
+        icp._jit_cache[cache_key] = runner
+
+    T_out, iters, codes, stats, overflow = runner(
+        batch_reading, batch_reference, T_inits_b, jnp.int32(seed)
+    )
+    T_out, iters, codes, pur, wpur, res, overflow = jax.device_get(
+        (T_out, iters, codes, stats.point_used_ratio,
+         stats.weighted_point_used_ratio, stats.residual, overflow)
+    )
+    if np.asarray(overflow).any():
+        return None  # exact recompute on the per-pair path
+    info = {
+        "iterations": np.asarray(iters),
+        "codes": np.asarray(codes),
+        "point_used_ratio": np.asarray(pur),
+        "weighted_point_used_ratio": np.asarray(wpur),
+        "residual": np.asarray(res),
+    }
+    return np.asarray(T_out), info
 
 
 def _finish_batch(icp, b, T_iter, iters, codes, stats, T_refIn_refMean,

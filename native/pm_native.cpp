@@ -180,3 +180,373 @@ long pm_covariance_greedy(const double* mag, long n, long nb, long* keep) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Compiled single-thread CPU ICP baseline (bench.py). Stands in for the
+// reference's compiled loop (MatchersImpl.cpp:78-101 kd-tree queries +
+// PointToPlane.cpp:213-247 solve) so the benchmark's vs_baseline is
+// measured against compiled C++ of the same algorithm, not a numpy loop.
+// 3-D only (the benchmark workload).
+
+namespace {
+
+struct PmKD {
+    std::vector<double> pts;   // [n, 3] tree order
+    std::vector<long> ids;     // original row of each tree slot
+    std::vector<int> axis;     // split axis per slot (implicit tree)
+    long n = 0;
+
+    void build(const double* p, long count) {
+        n = count;
+        pts.resize((size_t)n * 3);
+        ids.resize(n);
+        axis.assign(n, 0);
+        std::vector<long> ord(n);
+        std::iota(ord.begin(), ord.end(), 0L);
+        build_rec(p, ord.data(), 0, n);
+        for (long i = 0; i < n; ++i) {
+            for (int c = 0; c < 3; ++c) pts[i * 3 + c] = p[ids[i] * 3 + c];
+        }
+    }
+
+    // implicit balanced tree over [lo, hi): median slot = (lo+hi)/2,
+    // split axis = largest extent of the range
+    void build_rec(const double* p, long* ord, long lo, long hi) {
+        if (lo >= hi) return;
+        long mid = (lo + hi) / 2;
+        double mn[3] = {1e300, 1e300, 1e300}, mx[3] = {-1e300, -1e300, -1e300};
+        for (long i = lo; i < hi; ++i) {
+            for (int c = 0; c < 3; ++c) {
+                double v = p[ord[i] * 3 + c];
+                if (v < mn[c]) mn[c] = v;
+                if (v > mx[c]) mx[c] = v;
+            }
+        }
+        int ax = 0;
+        for (int c = 1; c < 3; ++c) {
+            if (mx[c] - mn[c] > mx[ax] - mn[ax]) ax = c;
+        }
+        std::nth_element(ord + lo, ord + mid, ord + hi,
+                         [p, ax](long a, long b) {
+                             return p[a * 3 + ax] < p[b * 3 + ax];
+                         });
+        axis[mid] = ax;
+        ids[mid] = ord[mid];
+        build_rec(p, ord, lo, mid);
+        build_rec(p, ord, mid + 1, hi);
+    }
+
+    void nn1_rec(const double* q, long lo, long hi,
+                 double& best_d2, long& best_slot) const {
+        if (lo >= hi) return;
+        long mid = (lo + hi) / 2;
+        const double* s = &pts[mid * 3];
+        double d2 = 0;
+        for (int c = 0; c < 3; ++c) {
+            double df = q[c] - s[c];
+            d2 += df * df;
+        }
+        if (d2 < best_d2) {
+            best_d2 = d2;
+            best_slot = mid;
+        }
+        int ax = axis[mid];
+        double delta = q[ax] - s[ax];
+        if (delta < 0) {
+            nn1_rec(q, lo, mid, best_d2, best_slot);
+            if (delta * delta < best_d2) nn1_rec(q, mid + 1, hi, best_d2, best_slot);
+        } else {
+            nn1_rec(q, mid + 1, hi, best_d2, best_slot);
+            if (delta * delta < best_d2) nn1_rec(q, lo, mid, best_d2, best_slot);
+        }
+    }
+
+    long query1(const double* q, double* d2_out) const {
+        double best = 1e300;
+        long slot = -1;
+        nn1_rec(q, 0, n, best, slot);
+        if (d2_out) *d2_out = best;
+        return slot >= 0 ? ids[slot] : -1;
+    }
+
+    // k-NN with a flat max-"heap" (linear scan over k entries — k ≤ 32
+    // in the baseline, dwarfed by tree traversal cost)
+    void nnk_rec(const double* q, long lo, long hi, long k,
+                 double* hd, long* hi_ids, long& filled) const {
+        if (lo >= hi) return;
+        long mid = (lo + hi) / 2;
+        const double* s = &pts[mid * 3];
+        double d2 = 0;
+        for (int c = 0; c < 3; ++c) {
+            double df = q[c] - s[c];
+            d2 += df * df;
+        }
+        long worst = 0;
+        for (long j = 1; j < filled; ++j) {
+            if (hd[j] > hd[worst]) worst = j;
+        }
+        if (filled < k) {
+            hd[filled] = d2;
+            hi_ids[filled] = ids[mid];
+            ++filled;
+        } else if (d2 < hd[worst]) {
+            hd[worst] = d2;
+            hi_ids[worst] = ids[mid];
+        }
+        int ax = axis[mid];
+        double delta = q[ax] - s[ax];
+        if (delta < 0) {
+            nnk_rec(q, lo, mid, k, hd, hi_ids, filled);
+            if (filled < k || delta * delta < worst_of(hd, filled))
+                nnk_rec(q, mid + 1, hi, k, hd, hi_ids, filled);
+        } else {
+            nnk_rec(q, mid + 1, hi, k, hd, hi_ids, filled);
+            if (filled < k || delta * delta < worst_of(hd, filled))
+                nnk_rec(q, lo, mid, k, hd, hi_ids, filled);
+        }
+    }
+
+    static double worst_of(const double* hd, long filled) {
+        double w = 0;
+        for (long j = 0; j < filled; ++j) {
+            if (hd[j] > w) w = hd[j];
+        }
+        return w;
+    }
+};
+
+// Jacobi eigen decomposition of a symmetric 3x3; returns the eigenvector
+// of the smallest eigenvalue (the surface normal of a neighborhood).
+void smallest_eigvec3(const double A_in[9], double out[3]) {
+    double A[9];
+    std::memcpy(A, A_in, sizeof(A));
+    double V[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+    for (int sweep = 0; sweep < 16; ++sweep) {
+        double off = std::fabs(A[1]) + std::fabs(A[2]) + std::fabs(A[5]);
+        if (off < 1e-14) break;
+        static const int PQ[3][2] = {{0, 1}, {0, 2}, {1, 2}};
+        for (int t = 0; t < 3; ++t) {
+            int p = PQ[t][0], q = PQ[t][1];
+            double apq = A[p * 3 + q];
+            if (std::fabs(apq) < 1e-300) continue;
+            double app = A[p * 3 + p], aqq = A[q * 3 + q];
+            double tau = (aqq - app) / (2 * apq);
+            double tth = (tau >= 0 ? 1.0 : -1.0) /
+                         (std::fabs(tau) + std::sqrt(1 + tau * tau));
+            double c = 1.0 / std::sqrt(1 + tth * tth), s = tth * c;
+            for (int r = 0; r < 3; ++r) {
+                double arp = A[r * 3 + p], arq = A[r * 3 + q];
+                A[r * 3 + p] = c * arp - s * arq;
+                A[r * 3 + q] = s * arp + c * arq;
+            }
+            for (int r = 0; r < 3; ++r) {
+                double apr = A[p * 3 + r], aqr = A[q * 3 + r];
+                A[p * 3 + r] = c * apr - s * aqr;
+                A[q * 3 + r] = s * apr + c * aqr;
+            }
+            for (int r = 0; r < 3; ++r) {
+                double vrp = V[r * 3 + p], vrq = V[r * 3 + q];
+                V[r * 3 + p] = c * vrp - s * vrq;
+                V[r * 3 + q] = s * vrp + c * vrq;
+            }
+        }
+    }
+    int kmin = 0;
+    double lmin = A[0];
+    if (A[4] < lmin) { lmin = A[4]; kmin = 1; }
+    if (A[8] < lmin) { kmin = 2; }
+    for (int r = 0; r < 3; ++r) out[r] = V[r * 3 + kmin];
+}
+
+// 6x6 linear solve, Gaussian elimination with partial pivoting
+void solve6(double A[36], double b[6], double x[6]) {
+    int piv[6];
+    for (int i = 0; i < 6; ++i) piv[i] = i;
+    for (int k = 0; k < 6; ++k) {
+        int p = k;
+        for (int i = k + 1; i < 6; ++i) {
+            if (std::fabs(A[i * 6 + k]) > std::fabs(A[p * 6 + k])) p = i;
+        }
+        if (p != k) {
+            for (int j = 0; j < 6; ++j) std::swap(A[k * 6 + j], A[p * 6 + j]);
+            std::swap(b[k], b[p]);
+        }
+        double d = A[k * 6 + k];
+        if (std::fabs(d) < 1e-300) d = (d >= 0 ? 1e-300 : -1e-300);
+        for (int i = k + 1; i < 6; ++i) {
+            double f = A[i * 6 + k] / d;
+            for (int j = k; j < 6; ++j) A[i * 6 + j] -= f * A[k * 6 + j];
+            b[i] -= f * b[k];
+        }
+    }
+    for (int k = 5; k >= 0; --k) {
+        double s = b[k];
+        for (int j = k + 1; j < 6; ++j) s -= A[k * 6 + j] * x[j];
+        double d = A[k * 6 + k];
+        if (std::fabs(d) < 1e-300) d = (d >= 0 ? 1e-300 : -1e-300);
+        x[k] = s / d;
+    }
+    (void)piv;
+}
+
+void rotvec_to_matrix(const double w[3], double R[9]) {
+    double th = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+    double I[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+    if (th < 1e-12) {
+        std::memcpy(R, I, sizeof(I));
+        return;
+    }
+    double k[3] = {w[0] / th, w[1] / th, w[2] / th};
+    double K[9] = {0, -k[2], k[1], k[2], 0, -k[0], -k[1], k[0], 0};
+    double K2[9];
+    for (int i = 0; i < 3; ++i) {
+        for (int j = 0; j < 3; ++j) {
+            double s = 0;
+            for (int l = 0; l < 3; ++l) s += K[i * 3 + l] * K[l * 3 + j];
+            K2[i * 3 + j] = s;
+        }
+    }
+    double st = std::sin(th), ct = std::cos(th);
+    for (int i = 0; i < 9; ++i) R[i] = I[i] + st * K[i] + (1 - ct) * K2[i];
+}
+
+// np.quantile(d, q) with linear interpolation, via two nth_elements
+double quantile(std::vector<double>& v, double q) {
+    if (v.empty()) return 0;
+    double pos = q * (double)(v.size() - 1);
+    size_t lo = (size_t)pos;
+    double frac = pos - (double)lo;
+    std::nth_element(v.begin(), v.begin() + lo, v.end());
+    double a = v[lo];
+    if (frac == 0 || lo + 1 >= v.size()) return a;
+    double b = *std::min_element(v.begin() + lo + 1, v.end());
+    return a + frac * (b - a);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* pm_kdtree_build(const double* pts, long n) {
+    PmKD* kd = new PmKD();
+    kd->build(pts, n);
+    return kd;
+}
+
+void pm_kdtree_free(void* h) { delete static_cast<PmKD*>(h); }
+
+// knn=k neighbor ids of every row of pts (self-query; the normal-estimation
+// prep of the baseline). out_ids is [n, k].
+void pm_kdtree_knn(void* h, const double* pts, long n, long k,
+                   long* out_ids) {
+    PmKD* kd = static_cast<PmKD*>(h);
+    std::vector<double> hd(k);
+    std::vector<long> hids(k);
+    for (long i = 0; i < n; ++i) {
+        long filled = 0;
+        kd->nnk_rec(pts + i * 3, 0, kd->n, k, hd.data(), hids.data(), filled);
+        // ascending by distance (the numpy baseline sorts too)
+        std::vector<long> ordv(filled);
+        std::iota(ordv.begin(), ordv.end(), 0L);
+        std::sort(ordv.begin(), ordv.end(),
+                  [&](long a, long b) { return hd[a] < hd[b]; });
+        for (long j = 0; j < k; ++j) {
+            out_ids[i * k + j] = j < filled ? hids[ordv[j]] : -1;
+        }
+    }
+}
+
+// per-point normals from k-NN covariance (the baseline's map prep)
+void pm_cpu_normals(void* h, const double* pts, long n, long k,
+                    double* out_normals) {
+    PmKD* kd = static_cast<PmKD*>(h);
+    std::vector<double> hd(k);
+    std::vector<long> hids(k);
+    for (long i = 0; i < n; ++i) {
+        long filled = 0;
+        kd->nnk_rec(pts + i * 3, 0, kd->n, k, hd.data(), hids.data(), filled);
+        double mean[3] = {0, 0, 0};
+        for (long j = 0; j < filled; ++j) {
+            for (int c = 0; c < 3; ++c) mean[c] += pts[hids[j] * 3 + c];
+        }
+        for (int c = 0; c < 3; ++c) mean[c] /= (double)(filled > 0 ? filled : 1);
+        double C[9] = {0};
+        for (long j = 0; j < filled; ++j) {
+            double d0 = pts[hids[j] * 3 + 0] - mean[0];
+            double d1 = pts[hids[j] * 3 + 1] - mean[1];
+            double d2 = pts[hids[j] * 3 + 2] - mean[2];
+            C[0] += d0 * d0; C[1] += d0 * d1; C[2] += d0 * d2;
+            C[4] += d1 * d1; C[5] += d1 * d2; C[8] += d2 * d2;
+        }
+        C[3] = C[1]; C[6] = C[2]; C[7] = C[5];
+        smallest_eigvec3(C, out_normals + i * 3);
+    }
+}
+
+// One registration at a fixed iteration budget: per iteration, transform
+// src by T, 1-NN query every point, trim at the `trim` distance quantile,
+// accumulate the point-to-plane normal equations and solve. Mirrors
+// bench.py::cpu_register exactly (which mirrors the reference default
+// chain's per-registration work). T_io is 4x4 row-major, in/out.
+void pm_icp_cpu_register(void* h, const double* ref, const double* normals,
+                         const double* src, long n_src, long iterations,
+                         double trim, double* T_io) {
+    PmKD* kd = static_cast<PmKD*>(h);
+    std::vector<double> cur((size_t)n_src * 3);
+    std::vector<double> d(n_src);
+    std::vector<double> dq(n_src);
+    std::vector<long> idx(n_src);
+    double T[16];
+    std::memcpy(T, T_io, sizeof(T));
+    for (long it = 0; it < iterations; ++it) {
+        for (long i = 0; i < n_src; ++i) {
+            const double* s = src + i * 3;
+            for (int r = 0; r < 3; ++r) {
+                cur[i * 3 + r] = T[r * 4 + 0] * s[0] + T[r * 4 + 1] * s[1] +
+                                 T[r * 4 + 2] * s[2] + T[r * 4 + 3];
+            }
+            double d2;
+            idx[i] = kd->query1(&cur[i * 3], &d2);
+            d[i] = std::sqrt(d2);
+        }
+        dq.assign(d.begin(), d.end());
+        double lim = quantile(dq, trim);
+        double A[36] = {0}, b[6] = {0};
+        for (long i = 0; i < n_src; ++i) {
+            if (d[i] > lim || idx[i] < 0) continue;
+            const double* p = &cur[i * 3];
+            const double* q = ref + idx[i] * 3;
+            const double* nv = normals + idx[i] * 3;
+            double c0 = p[1] * nv[2] - p[2] * nv[1];
+            double c1 = p[2] * nv[0] - p[0] * nv[2];
+            double c2 = p[0] * nv[1] - p[1] * nv[0];
+            double F[6] = {c0, c1, c2, nv[0], nv[1], nv[2]};
+            double e = (p[0] - q[0]) * nv[0] + (p[1] - q[1]) * nv[1] +
+                       (p[2] - q[2]) * nv[2];
+            for (int r = 0; r < 6; ++r) {
+                for (int cc = 0; cc < 6; ++cc) A[r * 6 + cc] += F[r] * F[cc];
+                b[r] -= F[r] * e;
+            }
+        }
+        double x[6];
+        solve6(A, b, x);
+        double R[9];
+        rotvec_to_matrix(x, R);
+        double Tn[16] = {R[0], R[1], R[2], x[3],
+                         R[3], R[4], R[5], x[4],
+                         R[6], R[7], R[8], x[5],
+                         0, 0, 0, 1};
+        double Tout[16];
+        for (int r = 0; r < 4; ++r) {
+            for (int cc = 0; cc < 4; ++cc) {
+                double s = 0;
+                for (int l = 0; l < 4; ++l) s += Tn[r * 4 + l] * T[l * 4 + cc];
+                Tout[r * 4 + cc] = s;
+            }
+        }
+        std::memcpy(T, Tout, sizeof(T));
+    }
+    std::memcpy(T_io, T, sizeof(T));
+}
+
+}  // extern "C"

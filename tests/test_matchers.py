@@ -360,6 +360,82 @@ def test_epsilon_floor_gates_mxu_kernel(monkeypatch):
     assert calls == ["vpu", "vpu", "mxu", "mxu"]
 
 
+@pytest.mark.parametrize("knn,block_cap", [(4, 1024), (4, 128), (8, 1024)])
+def test_block_grid_knn_exact_vs_brute_force(knn, block_cap):
+    """BlockGridMatcher(knn>1) must be exact vs the dense brute force
+    within maxDist — the reference matcher contract has knn as a free
+    parameter (MatchersImpl.h:69-120). block_cap=128 forces the
+    virtual-tile split so the sorted k-list merge across virtual tiles is
+    covered too."""
+    a, b = clouds(n=600, m=800, seed=13)
+    kd = Reg.create("KDTreeMatcher",
+                    {"knn": str(knn), "maxDist": "0.8"})
+    bg = Reg.create("BlockGridMatcher",
+                    {"knn": str(knn), "maxDist": "0.8", "motionBound": "0.0",
+                     "blockCap": str(block_cap), "tileQueries": "64"})
+    kd.init(b)
+    bg.init(b)
+    aux = bg.prepare_loop(a)
+    if block_cap == 128:
+        assert aux["vrows"].shape[0] > 1  # split actually triggered
+    m1 = kd.find_closests(a)
+    m2 = bg.find_closests_in(a, b, aux=aux)
+    d1, i1 = np.asarray(m1.dists), np.asarray(m1.ids)
+    d2, i2 = np.asarray(m2.dists), np.asarray(m2.ids)
+    assert d2.shape == (a.num_points, knn)
+    assert np.array_equal(np.isfinite(d1), np.isfinite(d2))
+    f = np.isfinite(d1)
+    np.testing.assert_allclose(d2[f], d1[f], rtol=1e-4, atol=1e-5)
+    # ascending per row
+    with np.errstate(invalid="ignore"):
+        diffs = np.diff(np.where(f, d2, np.inf), axis=1)
+    assert np.all(diffs[np.isfinite(diffs)] >= -1e-6)
+    # id disagreements only on (near-)exact distance ties
+    diff = (i1 != i2) & f
+    assert np.all(np.abs(d1[diff] - d2[diff]) < 1e-5)
+
+
+def test_block_grid_motion_bound_guard(data3d, ref3d):
+    """Violating the motionBound exactness invariant must be SURFACED, not
+    silent (the reference's bounded search is never silently wrong within
+    maxDist, MatchersImpl.cpp:86-101): a tiny motionBound with a large
+    real correction sets the flag; an adequate bound leaves it clear."""
+    import jax.numpy as jnp
+
+    from libpointmatcher_tpu.utils import se3
+
+    def run(motion_bound, t_init=None):
+        icp = pm.ICP()
+        icp.set_default()
+        icp.matcher = Reg.create(
+            "BlockGridMatcher",
+            {"maxDist": "2.0", "motionBound": motion_bound})
+        icp(data3d, ref3d, seed=0, T_init=t_init)
+        return icp.motion_bound_exceeded
+
+    # the fixture pair's correction rotates a ~127 m-wide scan: rim points
+    # move ~16 m, so any small bound is genuinely violated
+    assert run("0.001") is True
+    # bound above the true worst-case displacement: flag stays clear
+    # (cell edge grows to maxDist + 25, degenerating toward dense — the
+    # documented trade for guaranteed exactness under a weak prior)
+    assert run("25.0") is False
+
+
+def test_block_grid_knn_through_engine(data3d, ref3d):
+    """Full fused registration with a knn=3 BlockGridMatcher (multi-match
+    rows flow through outlier weighting and the minimizer)."""
+    from tests.conftest import validate_3d
+
+    icp = pm.ICP()
+    icp.set_default()
+    icp.matcher = Reg.create("BlockGridMatcher",
+                             {"knn": "3", "maxDist": "2.0",
+                              "motionBound": "2.0"})
+    T = icp(data3d, ref3d, seed=0)
+    validate_3d(T)
+
+
 def test_assign_tiles_lane_safe_blockcap():
     """blockCap values that are not multiples of 128 (legal per the Param,
     min=128) must still yield a candidate axis B*SB divisible by 128 when
