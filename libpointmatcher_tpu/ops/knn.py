@@ -4,9 +4,10 @@ The reference delegates all NN queries to an external CPU kd-tree
 (reference: MatchersImpl.cpp:78-101, libnabo). Tree traversal is pointer
 chasing and maps terribly to TPUs; instead we compute the exact k-NN with a
 **tiled squared-distance sweep**: for each tile of reference points, evaluate
-``‖q‖² + ‖r‖² − 2·q·rᵀ`` for all queries at once (one fused matmul +
-elementwise block that XLA schedules on MXU/VPU), then fold the tile into a
-running top-k held in registers/VMEM. Memory is O(N·tile), never O(N·M).
+``Σ_c (q_c − r_c)²`` for all queries at once (the exact f32 difference form —
+the matmul expansion form cancels catastrophically, see the step comment),
+then fold the tile into a running top-k held in registers/VMEM. Memory is
+O(N·tile), never O(N·M).
 
 Exactness: brute force is exact kNN — the reference's ``epsilon`` parameter
 (approximate-search slack traded for speed in a kd-tree) is accepted for
@@ -52,12 +53,8 @@ def knn_brute_force(query, query_mask, ref, ref_mask, k: int = 1, tile_m: int = 
     refp = _pad_rows(ref, m_pad)
     rmaskp = _pad_rows(ref_mask, m_pad, fill=False)
 
-    q2 = jnp.sum(query * query, axis=1)  # [N]
-    r2 = jnp.sum(refp * refp, axis=1)  # [M_pad]
-
     num_tiles = m_pad // tile_m
     ref_tiles = refp.reshape(num_tiles, tile_m, d)
-    r2_tiles = r2.reshape(num_tiles, tile_m)
     rmask_tiles = rmaskp.reshape(num_tiles, tile_m)
 
     inf = jnp.float32(jnp.inf)
@@ -66,16 +63,19 @@ def knn_brute_force(query, query_mask, ref, ref_mask, k: int = 1, tile_m: int = 
 
     def step(carry, tile):
         best_d, best_i = carry
-        rt, r2t, mt, tidx = tile
-        # [N, TM] squared distances; matmul rides the MXU, rest fuses on VPU.
-        # precision=HIGHEST forces true-f32 accumulation on TPU (the default
-        # single-pass bf16 flips nearest neighbors on close pairs).
-        dots = jnp.dot(
-            query, rt.T, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
-        d2 = q2[:, None] + r2t[None, :] - 2.0 * dots
-        d2 = jnp.maximum(d2, 0.0)
+        rt, mt, tidx = tile
+        # [N, TM] squared distances in the EXACT f32 difference form.
+        # The expansion form ‖q‖²+‖r‖²−2q·r (even with the dot at HIGHEST
+        # precision) cancels catastrophically: at coordinate scale s the
+        # result quantizes at ~s²·2⁻²⁴ — ~1e-3 absolute on the car clouds,
+        # which mis-ranks genuinely distinct neighbors (measured against
+        # the Pallas difference-form kernel, round 3). XLA fuses the
+        # subtract/square/reduce into one loop; nothing is materialized
+        # at [N, TM, d].
+        d2 = jnp.zeros((n, rt.shape[0]), jnp.float32)
+        for c in range(d):
+            diff = query[:, c][:, None] - rt[:, c][None, :]
+            d2 = d2 + diff * diff
         d2 = jnp.where(mt[None, :], d2, inf)
         gids = (tidx * tile_m + lax.broadcasted_iota(jnp.int32, (1, tile_m), 1))
         gids = jnp.broadcast_to(gids, (n, tile_m))
@@ -98,7 +98,7 @@ def knn_brute_force(query, query_mask, ref, ref_mask, k: int = 1, tile_m: int = 
         new_i = jnp.where(jnp.isfinite(new_d), new_i, -1)
         return (new_d, new_i), None
 
-    tiles = (ref_tiles, r2_tiles, rmask_tiles, jnp.arange(num_tiles, dtype=jnp.int32))
+    tiles = (ref_tiles, rmask_tiles, jnp.arange(num_tiles, dtype=jnp.int32))
     (best_d, best_i), _ = lax.scan(step, (init_d, init_i), tiles)
 
     qvalid = query_mask[:, None]

@@ -109,6 +109,13 @@ def build_sub_blocks(points: np.ndarray, mask: np.ndarray,
     pts = np.asarray(points, np.float64)
     valid = np.flatnonzero(np.asarray(mask, bool))
     d = pts.shape[1]
+    if pts.shape[0] >= 1 << 24:
+        # candidate row ids ride an f32 row of the fused candidate table
+        # (_gather_candidates); beyond 2^24 they stop being float-exact
+        raise ValueError(
+            "tile sweep supports references below 2^24 rows "
+            f"(got {pts.shape[0]}); shard the cloud instead"
+        )
     if len(valid) == 0:
         return SubBlocks(
             pts=jnp.zeros((1, SB, d), jnp.float32),
@@ -322,6 +329,8 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
 
 
 _DPAD = 8  # coordinate dim padded to the f32 sublane width
+_PEN_ROW = _DPAD - 2  # candidate-table row carrying the pad penalty
+_CID_ROW = _DPAD - 1  # candidate-table row carrying the original row id
 
 
 @jax.jit
@@ -333,6 +342,14 @@ def _gather_candidates(sub_pts, sub_ids, blocks):
     cand_t = jnp.zeros((T, _DPAD, B * SB), jnp.float32)
     cand_t = cand_t.at[:, :d, :].set(jnp.swapaxes(cand, 1, 2))
     pen = jnp.where(cid >= 0, 0.0, jnp.inf)
+    # Rows _PEN_ROW/_CID_ROW of the (already sublane-padded) table carry
+    # the pad penalty and the candidate's original row id (float-exact:
+    # ids < 2^24, guarded in build_sub_blocks), so the 1-NN kernel reads
+    # ONE fused operand: separate [T, 1, M] pen/cid operands sublane-pad
+    # 1→8 in VMEM and accounted for ~half of a measured scoped-vmem
+    # compile OOM at the batched serving shape (round 3).
+    cand_t = cand_t.at[:, _PEN_ROW, :].set(pen[:, 0, :])
+    cand_t = cand_t.at[:, _CID_ROW, :].set(cid[:, 0, :].astype(jnp.float32))
     return cand_t, pen, cid
 
 
@@ -381,8 +398,7 @@ def _morton(coords: np.ndarray) -> np.ndarray:
             | (spread2(coords[:, 1]) << np.uint64(1)))
 
 
-def _tile_nn1_kernel(q_ref, rt_ref, pen_ref, cid_ref, out_d_ref, out_i_ref,
-                     acc_d, acc_i, *, dim, nj, tb):
+def _tile_nn1_kernel(q_ref, rt_ref, out_d_ref, out_i_ref, *, dim, nj, tb):
     """Chunked running-min sweep over ``tb`` tiles per grid step (same
     reduction structure as ops/knn_pallas._nn1_kernel). All per-chunk ops
     are 3-D [tb, TQ, 128] broadcasts — the tile axis rides inside one
@@ -397,59 +413,90 @@ def _tile_nn1_kernel(q_ref, rt_ref, pen_ref, cid_ref, out_d_ref, out_i_ref,
     The candidate's ORIGINAL ROW ID (``cid_ref``) is carried through the
     running min instead of its flat sweep position: resolving positions
     to ids afterwards was a [rows] element-gather in XLA — scalar-core
-    rate, 3.3 ms/iter at batch 8 (tools/tile_serve_micro.py trace)."""
+    rate, 3.3 ms/iter at batch 8 (tools/tile_serve_micro.py trace).
+
+    VMEM discipline (the round-3 scoped-vmem OOM, measured at both the
+    batched serving shape and the plain TQ=64 shape): running state
+    across candidate steps (``j``) lives in the REVISITED OUTPUT BLOCKS
+    (the _tile_nnk_kernel idiom), not declared scratch — vmap batches
+    declared scratch shapes with the batch axis. The pad penalty and the
+    candidate row ids ride rows _PEN_ROW/_CID_ROW of the one fused
+    candidate operand instead of separate [T, 1, M] operands (sublane
+    padding 1→8 made those as large as the table itself). Ids flow as
+    f32 (exact below 2^24, guarded at build) and cast once at the end.
+    The per-lane best is per-STEP state in registers; the cross-lane
+    reduction runs once per step (almost always nj == 1: tile_m caps at
+    2048 and blockCap rarely exceeds it)."""
     j = pl.program_id(1)
     tile_m = rt_ref.shape[2]
 
-    @pl.when(j == 0)
-    def _():
-        acc_d[:, :, :] = jnp.full_like(acc_d, jnp.inf)
-        acc_i[:, :, :] = jnp.full_like(acc_i, -1)
-
     nch = tile_m // 128
-    best_d = acc_d[:, :, :]                      # [tb, TQ, 128]
-    best_i = acc_i[:, :, :]
+    best_d = None
+    best_i = None
     qcols = [q_ref[:, :, c][:, :, None] for c in range(dim)]  # [tb, TQ, 1]
     for ch in range(nch):
         sl = slice(ch * 128, (ch + 1) * 128)
-        d2 = pen_ref[:, :, sl]                   # [tb, 1, 128] broadcasts
+        d2 = rt_ref[:, _PEN_ROW, sl][:, None, :]  # [tb, 1, 128] broadcasts
         for c in range(dim):
             diff = qcols[c] - rt_ref[:, c, sl][:, None, :]
             d2 = d2 + diff * diff
-        take = d2 < best_d
-        best_d = jnp.where(take, d2, best_d)
-        best_i = jnp.where(take, cid_ref[:, :, sl], best_i)
-    acc_d[:, :, :] = best_d
-    acc_i[:, :, :] = best_i
+        cidf = rt_ref[:, _CID_ROW, sl][:, None, :]
+        if best_d is None:
+            shape = (d2.shape[0], q_ref.shape[1], d2.shape[2])
+            best_d = jnp.broadcast_to(d2, shape)
+            best_i = jnp.broadcast_to(cidf, shape)
+        else:
+            take = d2 < best_d
+            best_d = jnp.where(take, d2, best_d)
+            best_i = jnp.where(take, cidf, best_i)
+    td = jnp.min(best_d, axis=2)                 # [tb, TQ]
+    lane = jnp.argmin(best_d, axis=2).astype(jnp.int32)
+    rid = jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, best_d.shape, 2)
+            == lane[:, :, None],
+            best_i, 0.0,
+        ),
+        axis=2,
+    ).astype(jnp.int32)
+    rid = jnp.where(jnp.isfinite(td), rid, -1)
 
-    @pl.when(j == nj - 1)
-    def _():
-        bd = acc_d[:, :, :]
-        td = jnp.min(bd, axis=2)                 # [tb, TQ]
-        lane = jnp.argmin(bd, axis=2).astype(jnp.int32)
-        rid = jnp.sum(
-            jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, bd.shape, 2)
-                == lane[:, :, None],
-                acc_i[:, :, :], 0,
-            ),
-            axis=2,
-        )
+    if nj == 1:
         out_d_ref[:, 0, :] = td
         out_i_ref[:, 0, :] = rid
+    else:
+        @pl.when(j == 0)
+        def _():
+            out_d_ref[:, 0, :] = td
+            out_i_ref[:, 0, :] = rid
+
+        @pl.when(j > 0)
+        def _():
+            cur_d = out_d_ref[:, 0, :]
+            take = td < cur_d
+            out_d_ref[:, 0, :] = jnp.where(take, td, cur_d)
+            out_i_ref[:, 0, :] = jnp.where(take, rid, out_i_ref[:, 0, :])
 
 
 def _pick_tb(T, TQ, tile_m):
-    """Largest tiles-per-step dividing T within a ~10 MB VMEM budget
-    (fewer grid steps = less per-step overhead; see kernel docstring)."""
-    budget = 10 * 2**20
-    for tb in (64, 32, 16, 8):
+    """Largest tiles-per-step dividing T within a VMEM budget, modelled at
+    PADDED layouts (fewer grid steps = less per-step overhead; see kernel
+    docstring). The budget leaves headroom under the 16 MB scoped-vmem
+    limit for XLA's own stack in the surrounding loop body: the round-3
+    compile OOM came from underestimating exactly these paddings (q's
+    8-wide coordinate minor dim occupies full 128-lane vregs in VMEM),
+    and XLA places the kernel's full [T, 1, TQ] result tuple on the same
+    scoped stack when it feeds in-loop consumers (measured: +6.3 MB at
+    the batched T=384, TQ=256 serving shape)."""
+    budget = 5 * 2**20
+    for tb in (64, 32, 16, 8, 4):
         if T % tb:
             continue
         need = 4 * tb * (
-            2 * (TQ * _DPAD + _DPAD * tile_m + tile_m)  # double-buffered in
-            + 2 * TQ * 128                              # acc_d + acc_i
-            + 2 * 2 * TQ                                # outputs
+            2 * (TQ * 128          # q window, minor dim lane-padded 8→128
+                 + _DPAD * tile_m)  # fused candidate window (+pen +cid rows)
+            + 4 * TQ * 128         # best_d/best_i + d2/diff live temps
+            + 2 * 2 * 8 * 128      # output windows, unit dims padded
         )
         if need <= budget:
             return tb
@@ -457,8 +504,11 @@ def _pick_tb(T, TQ, tile_m):
 
 
 def _tile_sweep_pallas(q, cand_t, pen, cid, *, dim):
-    """(q [T, TQ, DPAD], cand_t [T, DPAD, M], pen [T, 1, M], cid [T, 1, M])
+    """(q [T, TQ, DPAD], cand_t [T, DPAD, M] with pen/cid fused into rows
+    _PEN_ROW/_CID_ROW — the separate pen/cid args are unused here, kept
+    for signature parity with the XLA fallback)
     → per-tile best (dists2 [T, TQ], candidate ORIGINAL ROW id [T, TQ])."""
+    del pen, cid  # fused into cand_t rows (see _gather_candidates)
     T, TQ, _ = q.shape
     M = cand_t.shape[2]
     tile_m = min(M, 2048)
@@ -474,10 +524,6 @@ def _tile_sweep_pallas(q, cand_t, pen, cid, *, dim):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, _DPAD, tile_m), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1, tile_m), lambda t, j: (t, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1, tile_m), lambda t, j: (t, 0, j),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             # unit middle dim: Mosaic wants the last two block dims
@@ -491,16 +537,12 @@ def _tile_sweep_pallas(q, cand_t, pen, cid, *, dim):
             jax.ShapeDtypeStruct((T, 1, TQ), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, TQ), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((tb, TQ, 128), jnp.float32),
-            pltpu.VMEM((tb, TQ, 128), jnp.int32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=(3 * dim + 4) * T * TQ * M,
-            bytes_accessed=4 * T * M * (_DPAD + 2) + 4 * T * TQ * _DPAD,
+            bytes_accessed=4 * T * M * _DPAD + 4 * T * TQ * _DPAD,
             transcendentals=0,
         ),
-    )(q, cand_t, pen, cid)
+    )(q, cand_t)
     return out_d[:, 0, :], out_i[:, 0, :]
 
 

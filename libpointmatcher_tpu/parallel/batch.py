@@ -580,16 +580,26 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
     max_k = max(int(p["vrows"].shape[0]) for p in pers)
 
     def pad_per(p):
+        from ..ops.tilesweep import _CID_ROW, _PEN_ROW
+
         dtp = max_tp - p["q_rows"].shape[0]
         dtv = max_tv - p["cand_t"].shape[0]
         dm = max_b - p["cand_t"].shape[2]
         dk = max_k - p["vrows"].shape[0]
+        m0 = p["cand_t"].shape[2]
+        # candidate-slot padding must carry +inf penalty / -1 id in the
+        # table's fused pen/cid rows (zero-padded slots would read as a
+        # real candidate at the origin)
+        cand_t = jnp.pad(p["cand_t"], ((0, dtv), (0, 0), (0, dm)))
+        if dm:
+            cand_t = cand_t.at[:, _PEN_ROW, m0:].set(jnp.inf)
+            cand_t = cand_t.at[:, _CID_ROW, m0:].set(-1.0)
         return {
             # padded parent tiles carry -1 query rows (scatter-dropped),
             # so their vrows/parent pointers may alias any valid row
             "q_rows": jnp.pad(p["q_rows"], ((0, dtp), (0, 0)),
                               constant_values=-1),
-            "cand_t": jnp.pad(p["cand_t"], ((0, dtv), (0, 0), (0, dm))),
+            "cand_t": cand_t,
             "pen": jnp.pad(p["pen"], ((0, dtv), (0, 0), (0, dm)),
                            constant_values=jnp.inf),
             "cid": jnp.pad(p["cid"], ((0, dtv), (0, 0), (0, dm)),

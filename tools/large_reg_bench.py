@@ -1,0 +1,258 @@
+"""Large-cloud registration benchmark: full scan-to-map serving at
+10^5-4x10^5-point maps, on chip.
+
+The tile sweep's raison d'etre (bounded-radius matching whose compute
+scales with candidates touched, not N*M) shown at the registration level,
+not just the kNN micro level (tools/large_knn_bench.py): an ICPSequence
+with a SurfaceNormal-prepped terrain map serves batches of misaligned
+scans through
+
+- BlockGridMatcher (tile sweep, bounded maxDist + motionBound), and
+- KDTreeMatcher (the exact dense sweep, reference-default config),
+
+and both are checked against the known ground-truth poses. The CPU
+baseline is the compiled single-thread C++ kd-tree + point-to-plane step
+(native/pm_native.cpp) at the same shape and iteration budget, amortized
+identically (map prep outside the timer — the ICPSequence::setMap
+contract, reference: ICP.cpp:463-508).
+
+Emits ONE JSON document (default LARGE_r03.json) with the crossover table.
+
+Usage: python tools/large_reg_bench.py [--sizes 100000 400000]
+       [--out LARGE_r03.json] [--skip-dense-above N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import libpointmatcher_tpu as pm  # noqa: E402
+from libpointmatcher_tpu.cloud import PointCloud  # noqa: E402
+from libpointmatcher_tpu.parallel import register_batch_to_map  # noqa: E402
+
+BATCH = 8
+DENSITY = 120.0  # points / m^2 of terrain footprint
+SCAN_RADIUS = 7.0  # m — ball around each scan center
+NOISE = 0.02  # m — per-point sensor noise on scans
+
+
+def make_map(n, rng):
+    """Terrain at constant density: footprint grows with N (the
+    large_knn_bench scene, so the kNN-level and registration-level tables
+    share a geometry)."""
+    side = float(np.sqrt(n / DENSITY))
+    xy = rng.uniform(0, side, (n, 2))
+    z = 0.4 * np.sin(xy[:, 0]) * np.cos(xy[:, 1] * 0.7) \
+        + 0.05 * rng.standard_normal(n)
+    return np.concatenate([xy, z[:, None]], 1).astype(np.float32), side
+
+
+def small_pose(rng, max_deg=2.0, max_trans=0.3):
+    ang = np.deg2rad(rng.uniform(-max_deg, max_deg, 3))
+    ca, sa = np.cos(ang), np.sin(ang)
+    Rx = np.array([[1, 0, 0], [0, ca[0], -sa[0]], [0, sa[0], ca[0]]])
+    Ry = np.array([[ca[1], 0, sa[1]], [0, 1, 0], [-sa[1], 0, ca[1]]])
+    Rz = np.array([[ca[2], -sa[2], 0], [sa[2], ca[2], 0], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = Rz @ Ry @ Rx
+    T[:3, 3] = rng.uniform(-max_trans, max_trans, 3)
+    return T
+
+
+def make_scans(map_pts, side, rng):
+    """BATCH scans: local ball of the map + noise, moved off the map frame
+    by inv(T_gt) — registration must recover ~T_gt."""
+    scans, T_gts = [], []
+    for _ in range(BATCH):
+        c = rng.uniform(SCAN_RADIUS, side - SCAN_RADIUS, 2)
+        sel = np.linalg.norm(map_pts[:, :2] - c[None, :], axis=1) < SCAN_RADIUS
+        pts = map_pts[sel] + NOISE * rng.standard_normal(
+            (int(sel.sum()), 3)
+        ).astype(np.float32)
+        T_gt = small_pose(rng)
+        Ti = np.linalg.inv(T_gt)
+        moved = pts @ Ti[:3, :3].T.astype(np.float32) + Ti[:3, 3].astype(
+            np.float32
+        )
+        scans.append(PointCloud.from_numpy(moved))
+        T_gts.append(T_gt)
+    return scans, T_gts
+
+
+def pose_errors(T_out, T_gts):
+    te, re = [], []
+    for T, G in zip(np.asarray(T_out, np.float64), T_gts):
+        te.append(float(np.linalg.norm(T[:3, 3] - G[:3, 3])))
+        c = (np.trace(T[:3, :3].T @ G[:3, :3]) - 1.0) / 2.0
+        re.append(float(np.arccos(np.clip(c, -1.0, 1.0))))
+    return te, re
+
+
+def build_seq(matcher_name, matcher_params):
+    from libpointmatcher_tpu.checkers import (
+        CounterTransformationChecker, DifferentialTransformationChecker)
+    from libpointmatcher_tpu.filters.basic import (
+        RandomSamplingDataPointsFilter)
+    from libpointmatcher_tpu.filters.normals import (
+        SurfaceNormalDataPointsFilter)
+    from libpointmatcher_tpu.matchers import MatcherRegistrar
+    from libpointmatcher_tpu.minimizers import PointToPlaneErrorMinimizer
+    from libpointmatcher_tpu.outlierfilters import TrimmedDistOutlierFilter
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.reading_filters = [RandomSamplingDataPointsFilter({"prob": "0.75"})]
+    seq.reference_filters = [SurfaceNormalDataPointsFilter({"knn": "10"})]
+    seq.matcher = MatcherRegistrar.create(matcher_name, matcher_params)
+    seq.outlier_filters = [TrimmedDistOutlierFilter({"ratio": "0.85"})]
+    seq.error_minimizer = PointToPlaneErrorMinimizer()
+    seq.checkers = [
+        CounterTransformationChecker({"maxIterationCount": "40"}),
+        DifferentialTransformationChecker(),
+    ]
+    return seq
+
+
+def serve(seq, map_cloud, scans, label, reps=3):
+    t0 = time.perf_counter()
+    seq.set_map(map_cloud, seed=0)
+    prep_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    T_out, info = register_batch_to_map(seq, scans, seed=0)  # compile
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    iters = 0.0
+    for i in range(reps):
+        T_out, info = register_batch_to_map(seq, scans, seed=i + 1)
+        iters += float(np.mean(info["iterations"]))
+    dt = (time.perf_counter() - t0) / reps
+    iters /= reps
+    print(f"  {label:10s} {dt * 1e3:9.1f} ms/batch  {BATCH / dt:7.2f} reg/s"
+          f"  iters~{iters:.1f}  (map prep {prep_s:.1f}s, "
+          f"compile {compile_s:.0f}s)")
+    return {
+        "ms_per_batch": round(dt * 1e3, 1),
+        "reg_per_s": round(BATCH / dt, 3),
+        "mean_iterations": round(iters, 2),
+        "map_prep_s": round(prep_s, 2),
+    }, T_out, iters
+
+
+def cpu_serve(map_pts, scans, budget):
+    """Compiled C++ baseline, amortized identically: kd-tree build +
+    normals once outside the timer; per-registration work (subsample +
+    query/trim/p2plane at the same iteration budget) timed."""
+    from libpointmatcher_tpu.io.native import cpu_baseline
+
+    nb = cpu_baseline(map_pts.astype(np.float64))
+    if nb is None:
+        return None
+    t0 = time.perf_counter()
+    nb.compute_normals(10)  # NOT timed against (setMap)
+    prep_s = time.perf_counter() - t0
+    rng = np.random.default_rng(0)
+    srcs = []
+    for s in scans:
+        p, _, _ = s.to_numpy()
+        srcs.append(p[rng.random(len(p)) < 0.75].astype(np.float64))
+    nb.register(srcs[0][:1000], 1)  # warm
+    t0 = time.perf_counter()
+    for s in srcs:
+        nb.register(s, budget)
+    dt = (time.perf_counter() - t0) / len(srcs)
+    print(f"  {'cpu C++':10s} {dt * 1e3:9.1f} ms/reg   "
+          f"{1.0 / dt:7.2f} reg/s  budget={budget}  "
+          f"(map prep {prep_s:.1f}s, single thread)")
+    return {
+        "ms_per_reg": round(dt * 1e3, 1),
+        "reg_per_s": round(1.0 / dt, 3),
+        "iteration_budget": budget,
+        "map_prep_s": round(prep_s, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+",
+                    default=[100_000, 400_000])
+    ap.add_argument("--out", default="LARGE_r03.json")
+    ap.add_argument("--skip-dense-above", type=int, default=1_000_000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    out = {
+        "benchmark": "large-cloud scan-to-map registration serving",
+        "backend": jax.default_backend(),
+        "batch": BATCH,
+        "chain": "RandomSampling(0.75) reading | SurfaceNormal(knn=10) map "
+                 "| TrimmedDist(0.85) | PointToPlane | Counter(40)+"
+                 "Differential",
+        "scene": f"terrain at {DENSITY:.0f} pts/m^2, scans = {SCAN_RADIUS} m "
+                 f"balls + {NOISE} m noise, ground-truth poses <=2 deg / "
+                 f"<=0.3 m",
+        "sizes": [],
+    }
+    for n in args.sizes:
+        rng = np.random.default_rng(7)
+        map_pts, side = make_map(n, rng)
+        scans, T_gts = make_scans(map_pts, side, rng)
+        scan_n = int(np.mean([s.count_host() for s in scans]))
+        print(f"map N={n:,}  scans ~{scan_n:,} pts")
+        map_cloud = PointCloud.from_numpy(map_pts)
+        row = {"map_points": n, "scan_points_mean": scan_n}
+
+        tile = build_seq("BlockGridMatcher", {
+            "maxDist": "0.5", "motionBound": "0.8",
+            "tileQueries": "64", "blockCap": "1024",
+        })
+        res, T_out, iters = serve(tile, map_cloud, scans, "tile",
+                                  reps=args.reps)
+        te, re = pose_errors(T_out, T_gts)
+        res["trans_err_max"] = round(max(te), 4)
+        res["rot_err_max_rad"] = round(max(re), 5)
+        row["tile_BlockGridMatcher"] = res
+        budget = max(int(round(iters)), 1)
+
+        if n <= args.skip_dense_above:
+            dense = build_seq("KDTreeMatcher", {})
+            dres, T_d, _ = serve(dense, map_cloud, scans, "dense",
+                                 reps=max(1, args.reps - 2))
+            te_d, re_d = pose_errors(T_d, T_gts)
+            dres["trans_err_max"] = round(max(te_d), 4)
+            dres["rot_err_max_rad"] = round(max(re_d), 5)
+            row["dense_KDTreeMatcher"] = dres
+            row["tile_vs_dense_speedup"] = round(
+                dres["ms_per_batch"] / res["ms_per_batch"], 2
+            )
+
+        cres = cpu_serve(map_pts, scans, budget)
+        if cres is not None:
+            row["cpu_compiled_cxx"] = cres
+            row["tile_vs_cpu_speedup"] = round(
+                res["reg_per_s"] / cres["reg_per_s"], 2
+            )
+        out["sizes"].append(row)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
