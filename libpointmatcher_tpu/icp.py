@@ -556,16 +556,29 @@ class ICP(ICPChainBase):
     def _motion_tracker(self, reading):
         """Displacement-bound tracker for bounded-search matchers (the
         ``motionBound`` exactness invariant, see BlockGridMatcher): returns
-        ``f(T_iter, prev_max) → new_max`` where the displacement of ANY
-        reading point under ``T_iter`` (vs its loop-entry pose, where the
-        tile assignment was built) is bounded by
-        ``2·sin(θ/2)·r_max + ‖t‖ = sqrt(dim − tr R)·r_max + ‖t‖``.
+        ``f(T_iter, prev_max) → new_max`` bounding the displacement of ANY
+        reading point under ``T_iter`` vs its loop-entry pose (where the
+        tile assignment was built). Referenced to the reading's CENTROID
+        ``c`` — for x in the ball of radius r around c,
+        ``‖Rx + t − x‖ ≤ ‖R(x−c) − (x−c)‖ + ‖Rc + t − c‖
+        ≤ 2·sin(θ/2)·r + ‖(R−I)c + t‖`` with
+        ``2·sin(θ/2) = sqrt(dim − tr R)``. The origin-referenced form
+        (``σ·max‖x‖ + ‖t‖``) is the c=0 special case and falsely flagged
+        scans far from the map mean: a rotation about the scan's own
+        center shows up there as a large rotation PLUS a large
+        compensating translation, each inflating the bound by
+        ~angle·range (measured ~4x over-report at a 58 m scene).
         The reference's bounded search is never silently wrong within
         maxDist (MatchersImpl.cpp:86-101); this makes our static-cells
         equivalent verifiable at runtime."""
         dim = reading.dim
-        r_max = jnp.max(
-            jnp.where(reading.mask, jnp.linalg.norm(reading.points, axis=1),
+        cnt = jnp.maximum(reading.count(), 1)
+        c = jnp.sum(
+            jnp.where(reading.mask[:, None], reading.points, 0.0), axis=0
+        ) / cnt
+        r_local = jnp.max(
+            jnp.where(reading.mask,
+                      jnp.linalg.norm(reading.points - c[None, :], axis=1),
                       0.0)
         )
 
@@ -573,7 +586,8 @@ class ICP(ICPChainBase):
             R = T_new[:dim, :dim]
             t = T_new[:dim, dim]
             sigma = jnp.sqrt(jnp.maximum(dim - jnp.trace(R), 0.0))
-            return jnp.maximum(prev, sigma * r_max + jnp.linalg.norm(t))
+            drift = jnp.linalg.norm(R @ c + t - c)
+            return jnp.maximum(prev, sigma * r_local + drift)
 
         return track
 

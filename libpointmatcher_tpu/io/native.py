@@ -92,6 +92,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, dptr, dptr, dptr, ctypes.c_long,
                 ctypes.c_long, ctypes.c_double, dptr,
             ]
+            lib.pm_icp_cpu_register_conv.restype = ctypes.c_long
+            lib.pm_icp_cpu_register_conv.argtypes = [
+                ctypes.c_void_p, dptr, dptr, dptr, ctypes.c_long,
+                ctypes.c_long, ctypes.c_double, ctypes.c_double,
+                ctypes.c_double, ctypes.c_long, dptr,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -202,6 +208,31 @@ class CpuBaseline:
             T.ctypes.data_as(dp),
         )
         return T
+
+    def register_conv(self, src_pts: np.ndarray, max_iterations: int = 40,
+                      trim: float = 0.85, rot_thresh: float = 0.001,
+                      trans_thresh: float = 0.001, smooth: int = 3,
+                      T_init=None):
+        """Convergence-stopped registration: same per-iteration work as
+        :meth:`register`, stopping by the reference Differential checker
+        semantics (TransformationCheckersImpl.cpp:85-158) at the same
+        default thresholds the engine uses. → (T, iterations_run)."""
+        if self._normals is None:
+            self.compute_normals()
+        src = np.ascontiguousarray(src_pts, np.float64)
+        T = np.ascontiguousarray(
+            np.eye(4) if T_init is None else T_init, np.float64
+        )
+        dp = ctypes.POINTER(ctypes.c_double)
+        it = self._lib.pm_icp_cpu_register_conv(
+            self._h,
+            self._ref.ctypes.data_as(dp),
+            self._normals.ctypes.data_as(dp),
+            src.ctypes.data_as(dp), len(src), max_iterations, trim,
+            rot_thresh, trans_thresh, smooth,
+            T.ctypes.data_as(dp),
+        )
+        return T, int(it)
 
 
 def cpu_baseline(ref_pts: np.ndarray) -> Optional[CpuBaseline]:

@@ -637,9 +637,10 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         batch_reading, T_inits_b, Trm, reference, jnp.int32(seed),
         per_aux, shared,
     )
-    T_out, iters, codes, pur, wpur, res = jax.device_get(
+    T_out, iters, codes, pur, wpur, res, motion = jax.device_get(
         (T_out, iters, codes, stats.point_used_ratio,
-         stats.weighted_point_used_ratio, stats.residual)
+         stats.weighted_point_used_ratio, stats.residual,
+         stats.motion_max)
     )
     info = {
         "iterations": np.asarray(iters),
@@ -649,6 +650,27 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         "residual": np.asarray(res),
         "compact_overflow": np.zeros(b, bool),  # no serve compaction here
     }
+    # motionBound invariant guard, per scan (the one-shot engine's check,
+    # icp.py: bounded-search exactness relies on no reading point moving
+    # farther than motionBound from the pose the tile assignment was built
+    # at; the reference's bounded search is never silently wrong within
+    # maxDist, MatchersImpl.cpp:86-101). NOTE the bound is on displacement
+    # in the REFERENCE-CENTERED frame: a rotation about the map mean moves
+    # far-from-center scans by ~angle * range.
+    bound = getattr(seq.matcher, "motionBound", None)
+    if bound is not None and motion is not None:
+        exceeded = np.asarray(motion) > float(bound)
+        info["motion_bound_exceeded"] = exceeded
+        if exceeded.any():
+            from ..loggers import log_warning
+
+            log_warning(
+                f"register_batch_to_map: {int(exceeded.sum())}/{b} scans "
+                f"exceeded motionBound {float(bound):.3f} (max displacement "
+                f"bound {float(np.max(motion)):.3f}) — matches beyond the "
+                f"pre-assigned cell neighborhoods may have been missed; "
+                f"raise motionBound or tighten the priors"
+            )
     return np.asarray(T_out), info
 
 

@@ -549,4 +549,119 @@ void pm_icp_cpu_register(void* h, const double* ref, const double* normals,
     std::memcpy(T_io, T, sizeof(T));
 }
 
+// Convergence-stopped variant: identical per-iteration work, but the loop
+// stops by the reference's Differential checker semantics
+// (TransformationCheckersImpl.cpp:85-158 — mean |drot| and |dtrans| of
+// consecutive T_iter over a sliding window of `smooth` steps both below
+// the thresholds, evaluated only once the history exceeds the window) or
+// at max_iterations. Returns the number of iterations run, so CPU
+// time-to-convergence is measurable instead of a fixed budget.
+long pm_icp_cpu_register_conv(void* h, const double* ref,
+                              const double* normals, const double* src,
+                              long n_src, long max_iterations, double trim,
+                              double rot_thresh, double trans_thresh,
+                              long smooth, double* T_io) {
+    PmKD* kd = static_cast<PmKD*>(h);
+    std::vector<double> cur((size_t)n_src * 3);
+    std::vector<double> d(n_src);
+    std::vector<double> dq(n_src);
+    std::vector<long> idx(n_src);
+    double T[16];
+    std::memcpy(T, T_io, sizeof(T));
+    if (smooth < 1) smooth = 1;
+    std::vector<double> rot_hist, trans_hist;  // per-step |delta|
+    double Rprev[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
+    double tprev[3] = {T_io[3], T_io[7], T_io[11]};
+    Rprev[0] = T_io[0]; Rprev[1] = T_io[1]; Rprev[2] = T_io[2];
+    Rprev[3] = T_io[4]; Rprev[4] = T_io[5]; Rprev[5] = T_io[6];
+    Rprev[6] = T_io[8]; Rprev[7] = T_io[9]; Rprev[8] = T_io[10];
+    long it = 0;
+    for (; it < max_iterations; ++it) {
+        for (long i = 0; i < n_src; ++i) {
+            const double* s = src + i * 3;
+            for (int r = 0; r < 3; ++r) {
+                cur[i * 3 + r] = T[r * 4 + 0] * s[0] + T[r * 4 + 1] * s[1] +
+                                 T[r * 4 + 2] * s[2] + T[r * 4 + 3];
+            }
+            double d2;
+            idx[i] = kd->query1(&cur[i * 3], &d2);
+            d[i] = std::sqrt(d2);
+        }
+        dq.assign(d.begin(), d.end());
+        double lim = quantile(dq, trim);
+        double A[36] = {0}, b[6] = {0};
+        for (long i = 0; i < n_src; ++i) {
+            if (d[i] > lim || idx[i] < 0) continue;
+            const double* p = &cur[i * 3];
+            const double* q = ref + idx[i] * 3;
+            const double* nv = normals + idx[i] * 3;
+            double c0 = p[1] * nv[2] - p[2] * nv[1];
+            double c1 = p[2] * nv[0] - p[0] * nv[2];
+            double c2 = p[0] * nv[1] - p[1] * nv[0];
+            double F[6] = {c0, c1, c2, nv[0], nv[1], nv[2]};
+            double e = (p[0] - q[0]) * nv[0] + (p[1] - q[1]) * nv[1] +
+                       (p[2] - q[2]) * nv[2];
+            for (int r = 0; r < 6; ++r) {
+                for (int cc = 0; cc < 6; ++cc) A[r * 6 + cc] += F[r] * F[cc];
+                b[r] -= F[r] * e;
+            }
+        }
+        double x[6];
+        solve6(A, b, x);
+        double R[9];
+        rotvec_to_matrix(x, R);
+        double Tn[16] = {R[0], R[1], R[2], x[3],
+                         R[3], R[4], R[5], x[4],
+                         R[6], R[7], R[8], x[5],
+                         0, 0, 0, 1};
+        double Tout[16];
+        for (int r = 0; r < 4; ++r) {
+            for (int cc = 0; cc < 4; ++cc) {
+                double s = 0;
+                for (int l = 0; l < 4; ++l) s += Tn[r * 4 + l] * T[l * 4 + cc];
+                Tout[r * 4 + cc] = s;
+            }
+        }
+        std::memcpy(T, Tout, sizeof(T));
+        // differential deltas vs previous T_iter
+        double Rc[9] = {T[0], T[1], T[2], T[4], T[5], T[6], T[8], T[9], T[10]};
+        double tc[3] = {T[3], T[7], T[11]};
+        double tracev = 0;
+        for (int r = 0; r < 3; ++r) {
+            for (int cc = 0; cc < 3; ++cc) {
+                // trace(Rprev^T * Rc)
+                tracev += Rprev[cc * 3 + r] * Rc[cc * 3 + r];
+            }
+        }
+        // guard acos domain like the engine's rotation_angle_between
+        double carg = (tracev - 1.0) / 2.0;
+        if (carg > 1.0) carg = 1.0;
+        if (carg < -1.0) carg = -1.0;
+        rot_hist.push_back(std::acos(carg));
+        double dt2 = 0;
+        for (int c = 0; c < 3; ++c) {
+            double df = tc[c] - tprev[c];
+            dt2 += df * df;
+        }
+        trans_hist.push_back(std::sqrt(dt2));
+        std::memcpy(Rprev, Rc, sizeof(Rc));
+        std::memcpy(tprev, tc, sizeof(tc));
+        if ((long)rot_hist.size() >= smooth) {
+            double mr = 0, mt = 0;
+            for (long j = 0; j < smooth; ++j) {
+                mr += rot_hist[rot_hist.size() - 1 - j];
+                mt += trans_hist[trans_hist.size() - 1 - j];
+            }
+            mr /= (double)smooth;
+            mt /= (double)smooth;
+            if (mr < rot_thresh && mt < trans_thresh) {
+                ++it;
+                break;
+            }
+        }
+    }
+    std::memcpy(T_io, T, sizeof(T));
+    return it;
+}
+
 }  // extern "C"

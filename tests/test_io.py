@@ -234,3 +234,34 @@ def test_pcd_binary_int64_time_roundtrip(tmp_path):
     body = struct.pack("<fffq", 1.0, 2.0, 3.0, t)
     c = load_pcd(_io.BytesIO(header + body))
     assert c.to_numpy()[2]["time"][0, 0] == t
+
+
+def test_native_baseline_register_conv():
+    """The compiled CPU baseline's convergence-stopped loop (bench
+    infrastructure, native/pm_native.cpp::pm_icp_cpu_register_conv):
+    identical per-iteration work as the fixed-budget form, stopping by
+    the reference Differential checker semantics
+    (TransformationCheckersImpl.cpp:85-158). It must agree with the
+    fixed-budget form at its returned iteration count and recover a
+    small known pose."""
+    from libpointmatcher_tpu.io.native import cpu_baseline
+
+    rng = np.random.default_rng(3)
+    ref = rng.uniform(0, 10, (3000, 3))
+    ref[:, 2] = 0.2 * np.sin(ref[:, 0]) + 0.1 * np.cos(ref[:, 1] * 2)
+    nb = cpu_baseline(ref)
+    if nb is None:
+        pytest.skip("native toolchain unavailable")
+    nb.compute_normals(10)
+    ang = 0.02
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0],
+                  [0, 0, 1.0]])
+    t = np.array([0.05, -0.04, 0.02])
+    src = (ref[::2] - t) @ R  # = R^-1 (x - t): registration recovers (R, t)
+    T, iters = nb.register_conv(src, max_iterations=40)
+    assert 0 < iters <= 40
+    T_budget = nb.register(src, iters)
+    np.testing.assert_allclose(T, T_budget, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(T[:3, :3], R, atol=5e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=5e-3)

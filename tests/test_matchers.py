@@ -422,6 +422,26 @@ def test_block_grid_motion_bound_guard(data3d, ref3d):
     assert run("25.0") is False
 
 
+def test_block_grid_motion_bound_guard_serving(data3d, ref3d):
+    """The batched serving path surfaces the motionBound invariant per
+    scan (info['motion_bound_exceeded']), mirroring the one-shot engine's
+    flag — production serving must not be silently wrong either."""
+    from libpointmatcher_tpu.parallel import register_batch_to_map
+
+    def run(motion_bound):
+        seq = pm.ICPSequence()
+        seq.set_default()
+        seq.matcher = Reg.create(
+            "BlockGridMatcher",
+            {"maxDist": "2.0", "motionBound": motion_bound})
+        seq.set_map(ref3d, seed=0)
+        _, info = register_batch_to_map(seq, [data3d, data3d], seed=0)
+        return info["motion_bound_exceeded"]
+
+    assert run("0.001").all()
+    assert not run("25.0").any()
+
+
 def test_block_grid_knn_through_engine(data3d, ref3d):
     """Full fused registration with a knn=3 BlockGridMatcher (multi-match
     rows flow through outlier weighting and the minimizer)."""
