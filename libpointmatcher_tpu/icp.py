@@ -506,10 +506,20 @@ class ICP(ICPChainBase):
         checkers = tuple(self.checkers)
         transformations = tuple(self.transformations)
 
+        stateful = hasattr(type(matcher), "find_closests_in_stateful")
+
         def step(reading, reference, T_iter, checker_states, outlier_states,
-                 iteration, matcher_aux=None):
+                 iteration, matcher_aux=None, matcher_state=None):
             stepped = _apply_transform(transformations, reading, T_iter)
-            if matcher_aux is not None:
+            if (matcher_aux is not None and matcher_state is not None
+                    and stateful):
+                # matchers with loop-carried search state (the bbox-pruned
+                # sweep carries each query's previous winner as its exact
+                # NN upper bound, ops/knn_skip.py)
+                matches, matcher_state = matcher.find_closests_in_stateful(
+                    stepped, reference, matcher_aux, matcher_state
+                )
+            elif matcher_aux is not None:
                 matches = matcher.find_closests_in(
                     stepped, reference, aux=matcher_aux
                 )
@@ -534,7 +544,7 @@ class ICP(ICPChainBase):
             iterate = jnp.logical_and(iterate, jnp.logical_not(no_inliers))
             # Hard errors always stop; MAX_ITER only when counter says stop.
             return T_new, tuple(new_checker_states), outlier_states, iterate, \
-                code, stats, matches, weights
+                code, stats, matches, weights, matcher_state
 
         return step
 
@@ -605,6 +615,8 @@ class ICP(ICPChainBase):
             return self._make_anderson_runner(step)
 
         track_motion = type(self.matcher).__name__ == "BlockGridMatcher"
+        matcher = self.matcher
+        stateful = hasattr(type(matcher), "find_closests_in_stateful")
 
         def run_loop(reading, reference, matcher_aux=None):
             dim = reading.dim
@@ -615,18 +627,21 @@ class ICP(ICPChainBase):
                 self._motion_tracker(reading)
                 if track_motion and matcher_aux is not None else None
             )
+            mstate0 = (
+                matcher.loop_state_init(reading, matcher_aux)
+                if stateful and matcher_aux is not None else None
+            )
 
             def cond(carry):
-                _, _, _, iterate, _, _, _ = carry
-                return iterate
+                return carry[3]
 
             def body(carry):
-                T_iter, checker_states, outlier_states, _, iteration, \
-                    code, stats_prev = carry
+                (T_iter, checker_states, outlier_states, _, iteration,
+                 code, stats_prev, mstate) = carry
                 T_new, checker_states, outlier_states, iterate, code2, \
-                    stats, _, _ = step(
+                    stats, _, _, mstate = step(
                         reading, reference, T_iter, checker_states,
-                        outlier_states, iteration, matcher_aux,
+                        outlier_states, iteration, matcher_aux, mstate,
                     )
                 motion = (
                     track(T_new, stats_prev.motion_max)
@@ -635,14 +650,14 @@ class ICP(ICPChainBase):
                 stats = stats._replace(motion_max=motion)
                 return (
                     T_new, checker_states, outlier_states, iterate,
-                    iteration + 1, jnp.maximum(code, code2), stats,
+                    iteration + 1, jnp.maximum(code, code2), stats, mstate,
                 )
 
             init = (
                 T0, checker_states, outlier_states, jnp.asarray(True),
-                jnp.int32(0), jnp.int32(0), stats0,
+                jnp.int32(0), jnp.int32(0), stats0, mstate0,
             )
-            T, _, _, _, iters, code, stats = jax.lax.while_loop(
+            T, _, _, _, iters, code, stats, _ = jax.lax.while_loop(
                 cond, body, init
             )
             return T, iters, code, stats
@@ -669,17 +684,22 @@ class ICP(ICPChainBase):
                 self._motion_tracker(reading)
                 if track_motion and matcher_aux is not None else None
             )
+            mstate0 = (
+                self.matcher.loop_state_init(reading, matcher_aux)
+                if (hasattr(type(self.matcher), "find_closests_in_stateful")
+                    and matcher_aux is not None) else None
+            )
 
             def cond(carry):
                 return carry[3]
 
             def body(carry):
                 (T_iter, checker_states, outlier_states, _, iteration, code,
-                 stats_prev, G, F, hist_len, prev_fnorm) = carry
+                 stats_prev, G, F, hist_len, prev_fnorm, mstate) = carry
                 T_plain, checker_states, outlier_states, iterate, code2, \
-                    stats, _, _ = step(
+                    stats, _, _, mstate = step(
                         reading, reference, T_iter, checker_states,
-                        outlier_states, iteration, matcher_aux,
+                        outlier_states, iteration, matcher_aux, mstate,
                     )
                 g = se3.pose_to_vec(T_plain)
                 x = se3.pose_to_vec(T_iter)
@@ -720,14 +740,14 @@ class ICP(ICPChainBase):
                 return (
                     T_next, checker_states, outlier_states, iterate,
                     iteration + 1, jnp.maximum(code, code2), stats,
-                    G, F, hist_len, fnorm,
+                    G, F, hist_len, fnorm, mstate,
                 )
 
             zeros = jnp.zeros((m, p), T0.dtype)
             init = (
                 T0, checker_states, outlier_states, jnp.asarray(True),
                 jnp.int32(0), jnp.int32(0), stats0,
-                zeros, zeros, jnp.int32(0), jnp.float32(jnp.inf),
+                zeros, zeros, jnp.int32(0), jnp.float32(jnp.inf), mstate0,
             )
             out = jax.lax.while_loop(cond, body, init)
             T, _, _, _, iters, code, stats = out[:7]
@@ -999,7 +1019,7 @@ class ICP(ICPChainBase):
                 )
             jit_fn = jit_step
             T_new, checker_states, outlier_states, it, c, stats, matches, \
-                weights = jit_fn(
+                weights, _ = jit_fn(
                     step_reading, reference, T_iter, checker_states,
                     outlier_states, jnp.int32(iteration),
                 )

@@ -110,6 +110,14 @@ class Matcher(Parametrizable):
         the matcher needs no loop state. Default: no loop state."""
         return None
 
+    def serving_loop_aux(self, reference) -> bool:
+        """Called once per serving batch with the prefiltered internal map:
+        True routes serving through the aux path (per-scan
+        :meth:`prepare_loop_host` state threaded into the vmapped loop).
+        Default: any matcher that overrides ``prepare_loop_host``. Matchers
+        with map-derived acceleration state may build/cache it here."""
+        return type(self).prepare_loop_host is not Matcher.prepare_loop_host
+
     # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
     # each matcher reports how many (query, candidate) pairs one call
     # actually inspects; the engine accumulates it per iteration into
@@ -168,16 +176,138 @@ class KDTreeMatcher(Matcher):
               float, "inf", min=0.0),
     )
 
-    def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
+    #: queries per skip tile (spatially coherent Morton groups; the
+    #: per-tile NN upper bound is a max over the tile, so smaller tiles
+    #: skip more — measured in tools/skip_sim.py)
+    SKIP_TILE_Q = 256
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        self._skip_shared = None
+        self._skip_for = None  # the map the tables were built for
+        self.cache_token = None
+
+    def find_closests_in(self, reading: PointCloud, ref: PointCloud,
+                         aux=None) -> Matches:
         dists, ids = knn_search(
             reading.points, reading.mask, ref.points, ref.mask, k=self.knn,
             epsilon=float(self.epsilon),
         )
-        if self.maxDist != float("inf"):
-            keep = dists <= jnp.float32(self.maxDist) ** 2
-            dists = jnp.where(keep, dists, jnp.inf)
-            ids = jnp.where(keep, ids, -1)
-        return Matches(dists, ids)
+        return self._apply_max_dist(Matches(dists, ids))
+
+    def _apply_max_dist(self, m: Matches) -> Matches:
+        if self.maxDist == float("inf"):
+            return m
+        keep = m.dists <= jnp.float32(self.maxDist) ** 2
+        return Matches(
+            jnp.where(keep, m.dists, jnp.inf), jnp.where(keep, m.ids, -1)
+        )
+
+    # ---- bbox-pruned serving path (ops/knn_skip.py): the dense sweep is
+    # VPU-issue-bound, so serving throughput comes from touching fewer
+    # (query, candidate) cells. Exact: skipped chunks provably contain no
+    # query's true nearest neighbor (the reference kd-tree at epsilon 0 is
+    # exact too, MatchersImpl.cpp:86-101).
+    def serving_loop_aux(self, reference) -> bool:
+        if (self.knn != 1
+                or float(self.epsilon) >= 1e-5  # MXU kernel opt-in wins
+                or not _use_pallas()):
+            self._skip_shared = None
+            return False
+        if (self._skip_shared is not None
+                and self._skip_for is reference):
+            return True
+        from .ops.knn_skip import (
+            SKIP_MAX_MPAD, chunk_bboxes, morton_argsort,
+        )
+        import jax
+        import numpy as np
+
+        pts, mask = jax.device_get((reference.points, reference.mask))
+        pts = np.asarray(pts, np.float32)
+        mask = np.asarray(mask, bool)
+        m, d = pts.shape
+        m_pad = -(-m // 128) * 128
+        if m_pad > SKIP_MAX_MPAD or d > 3:
+            self._skip_shared = None
+            return False
+        rorder, _ = morton_argsort(pts, mask)
+        rs = pts[rorder]
+        rmask = mask[rorder]
+        rt = np.zeros((8, m_pad), np.float32)
+        rt[:d, :m] = rs.T
+        rpen = np.full((1, m_pad), np.inf, np.float32)
+        rpen[0, :m] = np.where(rmask, 0.0, np.inf)
+        rs_pad = np.zeros((m_pad, d), np.float32)
+        rs_pad[:m] = rs
+        self._skip_shared = {
+            "skip_rt": jnp.asarray(rt),
+            "skip_rpen": jnp.asarray(rpen),
+            "skip_rs": jnp.asarray(rs_pad),
+            "skip_rorder": jnp.asarray(rorder.astype(np.int32)),
+            "skip_cbox": jnp.asarray(chunk_bboxes(rs, rmask)),
+        }
+        # strong ref: the sequence holds its map for its own lifetime
+        # anyway (PointCloud is a pytree NamedTuple — not weakref-able)
+        self._skip_for = reference
+        KDTreeMatcher._skip_counter = (
+            getattr(KDTreeMatcher, "_skip_counter", 0) + 1
+        )
+        self.cache_token = KDTreeMatcher._skip_counter
+        return True
+
+    def prepare_loop_host(self, pts, mask):
+        if self._skip_shared is None:
+            return None
+        from .ops.knn_skip import morton_argsort
+
+        qorder, qinv = morton_argsort(pts, mask)
+        return (
+            {"qorder": jnp.asarray(qorder), "qinv": jnp.asarray(qinv)},
+            dict(self._skip_shared),
+        )
+
+    def loop_state_init(self, reading: PointCloud, aux):
+        """Per-registration matcher loop state: the previous iteration's
+        winner for each SORTED query position (index into the sorted map;
+        -1 = unknown, iteration 0 sweeps everything)."""
+        return jnp.full((reading.num_points,), -1, jnp.int32)
+
+    def find_closests_in_stateful(self, reading: PointCloud,
+                                  ref: PointCloud, aux, state):
+        """Exact 1-NN through the bbox-pruned sweep; returns
+        ``(Matches, new_state)``. The upper bound per query is the exact
+        distance to its previous winner — an actual map point, so the
+        bound (and with it every skip decision) is valid unconditionally,
+        with no motion-bound assumption."""
+        from .ops.knn_skip import build_skip_mask, nn1_sorted_skip
+
+        qorder = aux["qorder"]
+        qs = reading.points[qorder]
+        qm = reading.mask[qorder]
+        rs = aux["skip_rs"]
+        prev = state
+        cand = rs[jnp.clip(prev, 0, rs.shape[0] - 1)]
+        ub2 = jnp.where(
+            prev >= 0,
+            jnp.sum((qs - cand) ** 2, axis=-1),
+            jnp.inf,
+        )
+        skip = build_skip_mask(qs, qm, ub2, aux["skip_cbox"],
+                               self.SKIP_TILE_Q)
+        d_s, i_s = nn1_sorted_skip(
+            qs, qm, aux["skip_rt"], aux["skip_rpen"], skip,
+            tile_q=self.SKIP_TILE_Q,
+        )
+        new_state = i_s  # pre-maxDist winners stay valid bound candidates
+        ids_sorted = jnp.where(
+            i_s >= 0,
+            aux["skip_rorder"][jnp.clip(i_s, 0, None)],
+            -1,
+        )
+        qinv = aux["qinv"]
+        matches = Matches(d_s[qinv][:, None], ids_sorted[qinv][:, None])
+        return self._apply_max_dist(matches), new_state
 
 
 def _use_pallas() -> bool:

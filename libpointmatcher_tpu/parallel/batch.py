@@ -379,9 +379,7 @@ def register_batch_to_map(
     if T_inits is None:
         T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
 
-    has_aux = (
-        type(seq.matcher).prepare_loop_host is not Matcher.prepare_loop_host
-    )
+    has_aux = seq.matcher.serving_loop_aux(reference)
     fused = (
         chain_is_traceable(seq.reading_filters)
         and not seq.reading_step_filters
@@ -570,6 +568,48 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         out = seq.matcher.prepare_loop_host(moved, mask)
         per, shared = out
         pers.append(per)
+    if "q_rows" not in pers[0]:
+        # generic aux (e.g. KDTreeMatcher's per-scan Morton ordering):
+        # per-scan entries share shapes by construction — plain stack
+        per_aux = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *pers
+        )
+        aux_shapes = tuple(sorted(
+            (k, tuple(v.shape)) for p in (pers[0], shared or {})
+            for k, v in p.items()
+        ))
+        cache_key = (
+            "serve_aux_g", b, rows, reference.num_points, dim, aux_shapes,
+            batch_reading.descriptor_labels(),
+            reference.descriptor_labels(),
+            seq._config_fingerprint(),
+            tuple(
+                (type(f).__name__, tuple(sorted(f.parameters.items())))
+                for f in seq.reading_filters
+            ),
+        )
+        runner = seq._jit_cache.get(cache_key)
+        if runner is None:
+            runner = _build_serve_runner_aux(seq, b)
+            seq._jit_cache[cache_key] = runner
+        T_out, iters, codes, stats = runner(
+            batch_reading, T_inits_b, Trm, reference, jnp.int32(seed),
+            per_aux, shared,
+        )
+        T_out, iters, codes, pur, wpur, res = jax.device_get(
+            (T_out, iters, codes, stats.point_used_ratio,
+             stats.weighted_point_used_ratio, stats.residual)
+        )
+        info = {
+            "iterations": np.asarray(iters),
+            "codes": np.asarray(codes),
+            "point_used_ratio": np.asarray(pur),
+            "weighted_point_used_ratio": np.asarray(wpur),
+            "residual": np.asarray(res),
+            "compact_overflow": np.zeros(b, bool),
+        }
+        return np.asarray(T_out), info
+
     # align per-scan aux shapes (tile/candidate counts differ per scan):
     # pad tiles with -1 query rows (scatter-dropped) and candidate slots
     # with +inf penalty / -1 ids — exact by construction
