@@ -253,6 +253,20 @@ class PointCloud:
                 times[k] = jnp.concatenate([v, other.times[k]], axis=0)
         return PointCloud(points, mask, descs, times)
 
+    def permute_rows(self, perm) -> "PointCloud":
+        """Jit-safe row permutation (all row-aligned fields follow).
+
+        Used once per registration by the serving skip path to put the
+        reading in Morton order before the loop (ops/knn_skip.py); row
+        order is otherwise meaningless to the engine (every consumer is a
+        masked row-wise reduction)."""
+        return PointCloud(
+            self.points[perm],
+            self.mask[perm],
+            {k: v[perm] for k, v in self.descriptors.items()},
+            {k: v[perm] for k, v in self.times.items()},
+        )
+
     # --------------------------------------------------------- host repacking
     def compact_traced(self, cap: int) -> "PointCloud":
         """Jit-safe compaction to a STATIC row capacity: valid rows are packed

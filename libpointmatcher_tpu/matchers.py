@@ -118,6 +118,16 @@ class Matcher(Parametrizable):
         with map-derived acceleration state may build/cache it here."""
         return type(self).prepare_loop_host is not Matcher.prepare_loop_host
 
+    #: True when serving prep must apply the per-scan aux ``qorder`` row
+    #: permutation (and may then compact) before entering the loop
+    SERVING_PERMUTES_READING = False
+
+    def serving_reference(self, reference):
+        """The reference cloud the serving loop should run against (hook
+        for matchers that re-lay the map out, e.g. the Morton-sorted copy
+        of the skip path — row order is meaningless to the engine)."""
+        return reference
+
     # Parity with the reference's touch statistics (MatchersImpl.cpp:86-101):
     # each matcher reports how many (query, candidate) pairs one call
     # actually inspects; the engine accumulates it per iteration into
@@ -180,11 +190,16 @@ class KDTreeMatcher(Matcher):
     #: per-tile NN upper bound is a max over the tile, so smaller tiles
     #: skip more — measured in tools/skip_sim.py)
     SKIP_TILE_Q = 256
+    #: 128-lane chunks per skip decision (one conditional + one scratch
+    #: round trip per super-chunk; finer granularity skips more chunks but
+    #: pays per-chunk predication — measured slower than dense at 1)
+    SKIP_GROUP = 4
 
     def __init__(self, params=None):
         super().__init__(params)
         self._skip_shared = None
         self._skip_for = None  # the map the tables were built for
+        self._skip_sorted_ref = None
         self.cache_token = None
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
@@ -207,13 +222,40 @@ class KDTreeMatcher(Matcher):
     # VPU-issue-bound, so serving throughput comes from touching fewer
     # (query, candidate) cells. Exact: skipped chunks provably contain no
     # query's true nearest neighbor (the reference kd-tree at epsilon 0 is
-    # exact too, MatchersImpl.cpp:86-101).
+    # exact too, MatchersImpl.cpp:86-101). The WHOLE serving loop runs in
+    # Morton-sorted space — reading rows permuted once in prep, the loop's
+    # reference replaced by a once-sorted copy (row order is meaningless to
+    # the engine: every consumer is a masked row-wise reduction) — so the
+    # per-iteration step does ZERO row gathers beyond the dense path's own
+    # pair gather (a sorted-space id indexes the sorted reference
+    # directly). The measured first cut of this path kept original row
+    # order and paid five ~25k-row gathers per iteration (qorder/qinv
+    # reorders, prev-winner position fetch, rorder id translation): 2.4x
+    # SLOWER than the dense fused path despite a 63% chunk-skip rate.
     def serving_loop_aux(self, reference) -> bool:
-        if (self.knn != 1
+        import os
+
+        if (os.environ.get("PMTPU_SERVE_SKIP", "0") != "1"
+                # opt-in: measured END-TO-END parity with the dense fused
+                # path at the 25k-car serving shape (kernel alone wins 14%
+                # at 46% super-chunks skipped, but the per-batch host
+                # Morton prep ~33 ms eats it; tools/skip_ab.py) — the
+                # dense path stays the default until the skip path wins
+                # at a production shape
+                or self.knn != 1
                 or float(self.epsilon) >= 1e-5  # MXU kernel opt-in wins
                 or not _use_pallas()):
             self._skip_shared = None
             return False
+        try:
+            # map-sharded serving: the resident-map kernel (and the
+            # sorted-copy substitution) would silently replicate a map the
+            # caller laid out across the mesh — leave that path dense
+            if len(reference.points.devices()) > 1:
+                self._skip_shared = None
+                return False
+        except Exception:
+            pass
         if (self._skip_shared is not None
                 and self._skip_for is reference):
             return True
@@ -238,15 +280,18 @@ class KDTreeMatcher(Matcher):
         rt[:d, :m] = rs.T
         rpen = np.full((1, m_pad), np.inf, np.float32)
         rpen[0, :m] = np.where(rmask, 0.0, np.inf)
-        rs_pad = np.zeros((m_pad, d), np.float32)
-        rs_pad[:m] = rs
         self._skip_shared = {
             "skip_rt": jnp.asarray(rt),
             "skip_rpen": jnp.asarray(rpen),
-            "skip_rs": jnp.asarray(rs_pad),
-            "skip_rorder": jnp.asarray(rorder.astype(np.int32)),
-            "skip_cbox": jnp.asarray(chunk_bboxes(rs, rmask)),
+            "skip_cbox": jnp.asarray(
+                chunk_bboxes(rs, rmask, chunk=128 * self.SKIP_GROUP)
+            ),
         }
+        # the loop's reference: the same cloud with every row-aligned
+        # field in Morton order, so sorted-space match ids need no
+        # translation (built once per map, like the tables)
+        self._skip_sorted_ref = reference.permute_rows(
+            jnp.asarray(rorder))
         # strong ref: the sequence holds its map for its own lifetime
         # anyway (PointCloud is a pytree NamedTuple — not weakref-able)
         self._skip_for = reference
@@ -256,57 +301,72 @@ class KDTreeMatcher(Matcher):
         self.cache_token = KDTreeMatcher._skip_counter
         return True
 
+    def serving_reference(self, reference):
+        """The reference cloud the serving loop should run against: the
+        Morton-sorted copy when the skip path is active."""
+        if self._skip_shared is None or self._skip_for is not reference:
+            return reference
+        return self._skip_sorted_ref
+
+    SERVING_PERMUTES_READING = True  # prep applies per-scan aux "qorder"
+
     def prepare_loop_host(self, pts, mask):
         if self._skip_shared is None:
             return None
         from .ops.knn_skip import morton_argsort
 
-        qorder, qinv = morton_argsort(pts, mask)
-        return (
-            {"qorder": jnp.asarray(qorder), "qinv": jnp.asarray(qinv)},
-            dict(self._skip_shared),
-        )
+        qorder, _ = morton_argsort(pts, mask)
+        return ({"qorder": jnp.asarray(qorder)}, dict(self._skip_shared))
+
+    def prepare_loop_host_batch(self, pts_b, mask_b):
+        """Batched :meth:`prepare_loop_host`: one bit-interleave pass over
+        the whole scan batch (per-scan sequential Morton cost measured at
+        ~9 ms/scan on 25k points — a third of the serving budget)."""
+        if self._skip_shared is None:
+            return None
+        from .ops.knn_skip import morton_argsort_batch
+
+        orders = morton_argsort_batch(pts_b, mask_b)
+        return ({"qorder": jnp.asarray(orders)}, dict(self._skip_shared))
 
     def loop_state_init(self, reading: PointCloud, aux):
-        """Per-registration matcher loop state: the previous iteration's
-        winner for each SORTED query position (index into the sorted map;
-        -1 = unknown, iteration 0 sweeps everything)."""
-        return jnp.full((reading.num_points,), -1, jnp.int32)
+        """Per-registration matcher loop state: each query's position at
+        the previous sweep and its squared distance to the winner found
+        there (+inf = no sweep yet; iteration 0 sweeps everything)."""
+        return (
+            reading.points,
+            jnp.full((reading.num_points,), jnp.inf, jnp.float32),
+        )
 
     def find_closests_in_stateful(self, reading: PointCloud,
                                   ref: PointCloud, aux, state):
         """Exact 1-NN through the bbox-pruned sweep; returns
-        ``(Matches, new_state)``. The upper bound per query is the exact
-        distance to its previous winner — an actual map point, so the
-        bound (and with it every skip decision) is valid unconditionally,
-        with no motion-bound assumption."""
+        ``(Matches, new_state)``. ``reading`` is already Morton-sorted
+        (serving prep applied the per-scan ``qorder`` once) and ``ref`` is
+        the sorted reference, so ids pass through untranslated. The upper
+        bound per query is triangle-inequality-transported from the
+        previous sweep: d(q_now, w_prev) ≤ d(q_prev, w_prev) +
+        ‖q_now − q_prev‖, where w_prev is a REAL map point — so the bound
+        (and with it every skip decision) is valid unconditionally, with
+        no motion-bound assumption and no winner-position gather."""
         from .ops.knn_skip import build_skip_mask, nn1_sorted_skip
 
-        qorder = aux["qorder"]
-        qs = reading.points[qorder]
-        qm = reading.mask[qorder]
-        rs = aux["skip_rs"]
-        prev = state
-        cand = rs[jnp.clip(prev, 0, rs.shape[0] - 1)]
-        ub2 = jnp.where(
-            prev >= 0,
-            jnp.sum((qs - cand) ** 2, axis=-1),
-            jnp.inf,
-        )
+        qs = reading.points
+        qm = reading.mask
+        prev_pos, prev_d2 = state
+        step = jnp.sqrt(jnp.sum((qs - prev_pos) ** 2, axis=-1))
+        ub = jnp.sqrt(prev_d2) + step          # inf-safe: inf + x = inf
+        ub2 = ub * ub
         skip = build_skip_mask(qs, qm, ub2, aux["skip_cbox"],
                                self.SKIP_TILE_Q)
         d_s, i_s = nn1_sorted_skip(
             qs, qm, aux["skip_rt"], aux["skip_rpen"], skip,
-            tile_q=self.SKIP_TILE_Q,
+            tile_q=self.SKIP_TILE_Q, group=self.SKIP_GROUP,
         )
-        new_state = i_s  # pre-maxDist winners stay valid bound candidates
-        ids_sorted = jnp.where(
-            i_s >= 0,
-            aux["skip_rorder"][jnp.clip(i_s, 0, None)],
-            -1,
-        )
-        qinv = aux["qinv"]
-        matches = Matches(d_s[qinv][:, None], ids_sorted[qinv][:, None])
+        # pre-maxDist winners stay valid bound candidates; invalid rows
+        # carry +inf → their tiles keep skipping everything
+        new_state = (qs, d_s)
+        matches = Matches(d_s[:, None], i_s[:, None])
         return self._apply_max_dist(matches), new_state
 
 

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "SKIP_MAX_MPAD",
     "morton_argsort",
+    "morton_argsort_batch",
     "chunk_bboxes",
     "build_skip_mask",
     "nn1_sorted_skip",
@@ -61,27 +62,67 @@ SKIP_MAX_MPAD = 32768
 # ------------------------------------------------------------- host helpers
 def morton_argsort(pts, mask, bits: int = 10):
     """Host: stable order sorting valid rows by 3D Morton code, invalid
-    rows last. Returns (order, inverse) int32 arrays of length N."""
+    rows last. Returns (order, inverse) int32 arrays of length N.
+    Delegates to :func:`morton_argsort_batch` so per-scan and batched
+    serving prep produce bit-identical orders."""
     import numpy as np
 
-    pts = np.asarray(pts, np.float64)
+    pts = np.asarray(pts)
     mask = np.asarray(mask, bool)
-    n, d = pts.shape
-    vp = pts[mask] if mask.any() else np.zeros((1, d))
-    lo = vp.min(axis=0)
-    span = np.maximum(vp.max(axis=0) - lo, 1e-9)
-    q = np.clip(((pts - lo) / span * (2**bits - 1)), 0,
-                2**bits - 1).astype(np.uint64)
-    code = np.zeros(n, np.uint64)
-    for b in range(bits):
-        for a in range(min(d, 3)):
-            code |= ((q[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
-                3 * b + a)
-    code = np.where(mask, code, np.uint64(0xFFFFFFFFFFFFFFFF))
-    order = np.argsort(code, kind="stable").astype(np.int32)
+    order = morton_argsort_batch(pts[None], mask[None], bits)[0]
     inverse = np.empty_like(order)
-    inverse[order] = np.arange(n, dtype=np.int32)
+    inverse[order] = np.arange(len(order), dtype=np.int32)
     return order, inverse
+
+
+_SPREAD10 = None  # 10-bit → every-3rd-bit spread LUT (built once)
+
+
+def _spread_table():
+    global _SPREAD10
+    if _SPREAD10 is None:
+        import numpy as np
+
+        v = np.arange(1 << 10, dtype=np.uint32)
+        out = np.zeros_like(v)
+        for b in range(10):
+            out |= ((v >> np.uint32(b)) & np.uint32(1)) << np.uint32(3 * b)
+        _SPREAD10 = out
+    return _SPREAD10
+
+
+def morton_argsort_batch(pts_b, mask_b, bits: int = 10):
+    """Host: :func:`morton_argsort` vectorized over a batch axis —
+    ``pts_b [b, n, d]``, ``mask_b [b, n]`` → orders ``[b, n]`` int32
+    (per-scan stable Morton order, invalid rows last). Bit interleave via
+    a 1024-entry spread LUT on uint32 (30-bit codes): three gathers
+    instead of 30 shift/or passes — the per-scan sequential form measured
+    ~9 ms/scan at 25k points through the serving path's per-batch host
+    prep, this one ~1 ms/scan."""
+    import numpy as np
+
+    assert bits == 10, "spread LUT is built for 10-bit axes"
+    pts = np.asarray(pts_b, np.float32)
+    mask = np.asarray(mask_b, bool)
+    b, n, d = pts.shape
+    masked = np.where(mask[..., None], pts, np.nan)
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        lo = np.nanmin(masked, axis=1, keepdims=True)      # [b, 1, d]
+        span = np.nanmax(masked, axis=1, keepdims=True) - lo
+    lo = np.where(np.isnan(lo), np.float32(0.0), lo)
+    span = np.where(np.isnan(span), np.float32(1.0),
+                    np.maximum(span, np.float32(1e-9)))
+    q = np.clip((pts - lo) / span * (2**bits - 1), 0,
+                2**bits - 1).astype(np.uint32)
+    tab = _spread_table()
+    code = np.zeros((b, n), np.uint32)
+    for a in range(min(d, 3)):
+        code |= tab[q[..., a]] << np.uint32(a)
+    code = np.where(mask, code, np.uint32(0xFFFFFFFF))
+    return np.argsort(code, axis=1, kind="stable").astype(np.int32)
 
 
 def chunk_bboxes(pts_sorted, mask_sorted, chunk: int = 128):
@@ -143,32 +184,41 @@ def build_skip_mask(qs, qm, ub2, cbox, tile_q: int):
 
 
 def _nn1_skip_kernel(skip_ref, q_ref, rt_ref, rpen_ref, out_d_ref,
-                     out_i_ref, acc_d, acc_i, *, dim, nch):
+                     out_i_ref, acc_d, acc_i, *, dim, nch, group):
     """One grid step = one query tile against the whole resident map.
 
-    Each 128-lane chunk's compute + running-min update is wrapped in
-    ``pl.when`` on its SMEM skip flag (the whole [ni, nch] flag table is
-    resident in SMEM — Mosaic requires SMEM blocks be full-array — and
-    indexed by the grid step); the per-lane best is VMEM scratch (RMW
-    inside the conditional region). The cross-lane argmin runs once per
-    tile at the end."""
+    Chunks are grouped into super-chunks of ``group`` 128-lane chunks;
+    each super-chunk's compute is wrapped in ONE ``pl.when`` on its SMEM
+    skip flag (the whole [ni, nsg] flag table is resident in SMEM —
+    Mosaic requires SMEM blocks be full-array — and indexed by the grid
+    step). Inside the conditional region the running per-lane best is
+    read from VMEM scratch ONCE, updated in registers across the group's
+    chunks, and written back ONCE — the first cut predicated every
+    128-lane chunk individually and paid a scratch read-modify-write per
+    chunk, which erased the pruning win (measured on chip: 4.76 ms warm
+    at 63% chunks skipped vs 3.78 ms for the unconditional dense kernel).
+    The cross-lane argmin runs once per tile at the end."""
     i = pl.program_id(0)
     acc_d[:, :] = jnp.full_like(acc_d, jnp.inf)
     acc_i[:, :] = jnp.zeros_like(acc_i)
     qcols = [q_ref[:, c][:, None] for c in range(dim)]
-    for ch in range(nch):
-        @pl.when(skip_ref[i, ch] == 0)
-        def _(ch=ch):
-            sl = slice(ch * 128, (ch + 1) * 128)
-            d2 = rpen_ref[0, sl][None, :]
-            for c in range(dim):
-                diff = qcols[c] - rt_ref[c, sl][None, :]
-                d2 = d2 + diff * diff
-            best = acc_d[:, :]
-            take = d2 < best
-            acc_d[:, :] = jnp.where(take, d2, best)
-            acc_i[:, :] = jnp.where(
-                take, jnp.int32(ch * 128), acc_i[:, :])
+    nsg = -(-nch // group)
+    for sg in range(nsg):
+        @pl.when(skip_ref[i, sg] == 0)
+        def _(sg=sg):
+            best_d = acc_d[:, :]
+            best_i = acc_i[:, :]
+            for ch in range(sg * group, min((sg + 1) * group, nch)):
+                sl = slice(ch * 128, (ch + 1) * 128)
+                d2 = rpen_ref[0, sl][None, :]
+                for c in range(dim):
+                    diff = qcols[c] - rt_ref[c, sl][None, :]
+                    d2 = d2 + diff * diff
+                take = d2 < best_d
+                best_d = jnp.where(take, d2, best_d)
+                best_i = jnp.where(take, jnp.int32(ch * 128), best_i)
+            acc_d[:, :] = best_d
+            acc_i[:, :] = best_i
     bd = acc_d[:, :]
     td = jnp.min(bd, axis=1)
     lane = jnp.argmin(bd, axis=1).astype(jnp.int32)
@@ -183,31 +233,36 @@ def _nn1_skip_kernel(skip_ref, q_ref, rt_ref, rpen_ref, out_d_ref,
     out_i_ref[:, 0] = base + lane
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q",))
-def nn1_sorted_skip(qs, qm, rt, rpen, skip, tile_q: int = 256):
+@functools.partial(jax.jit, static_argnames=("tile_q", "group"))
+def nn1_sorted_skip(qs, qm, rt, rpen, skip, tile_q: int = 256,
+                    group: int = 4):
     """Exact 1-NN of sorted queries against a resident sorted map, with
-    per-(tile, chunk) skip flags from :func:`build_skip_mask`.
+    per-(tile, super-chunk) skip flags from :func:`build_skip_mask`
+    (super-chunk = ``group`` consecutive 128-lane chunks; pass bboxes
+    built with ``chunk_bboxes(..., chunk=128 * group)``).
 
     qs [n,d] f32 (Morton-sorted, current pose), qm [n] bool,
     rt [_DPAD, m_pad] f32 (sorted map, transposed, zero-padded),
-    rpen [1, m_pad] f32 (+inf at pad rows), skip [ni, m_pad//128] int32.
+    rpen [1, m_pad] f32 (+inf at pad rows),
+    skip [ni, ceil(m_pad/(128*group))] int32.
     Returns (dists2 [n], ids [n]) — ids index the SORTED map, -1 invalid.
     """
     n, d = qs.shape
     m_pad = rt.shape[1]
     assert m_pad % 128 == 0 and m_pad <= SKIP_MAX_MPAD, m_pad
     nch = m_pad // 128
+    nsg = -(-nch // group)
     ni = -(-n // tile_q)
     n_pad = ni * tile_q
-    assert skip.shape == (ni, nch), (skip.shape, ni, nch)
+    assert skip.shape == (ni, nsg), (skip.shape, ni, nsg)
 
     qp = jnp.zeros((n_pad, _DPAD), jnp.float32).at[:n, :d].set(qs)
 
     out_d, out_i = pl.pallas_call(
-        functools.partial(_nn1_skip_kernel, dim=d, nch=nch),
+        functools.partial(_nn1_skip_kernel, dim=d, nch=nch, group=group),
         grid=(ni,),
         in_specs=[
-            pl.BlockSpec((ni, nch), lambda i: (0, 0),
+            pl.BlockSpec((ni, nsg), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_q, _DPAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

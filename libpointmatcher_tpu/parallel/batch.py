@@ -403,48 +403,7 @@ def register_batch_to_map(
     # logic compared against B and silently disabled compaction)
     rows = batch_reading.points.shape[-2]
 
-    cap = None
-    if compact_rows == "auto":
-        cap_key = (
-            "serve_cap", rows,
-            seq._config_fingerprint(),
-            tuple(
-                (type(f).__name__, tuple(sorted(f.parameters.items())))
-                for f in seq.reading_filters
-            ),
-        )
-        cap = seq._jit_cache.get(cap_key)
-        if cap is None:
-            # probe the chain once per (shape, config): one host sync.
-            # The cap is sized from the probe's KEEP-RATE applied to the
-            # batch's full padded capacity — not the probe scan's own
-            # survivor count — so a later, denser scan hitting the same
-            # cache key still fits (advisor finding, round 1).
-            probe = apply_filter_chain_traced(
-                tuple(seq.reading_filters), readings[0],
-                jax.random.fold_in(jax.random.PRNGKey(seed), 0),
-            )
-            n, n_in = (
-                int(v)
-                for v in np.asarray(
-                    jax.device_get(
-                        jnp.stack(
-                            [jnp.sum(probe.mask), readings[0].count()]
-                        )
-                    )
-                )
-            )
-            keep_rate = n / max(n_in, 1)
-            worst = keep_rate * rows
-            cap = min(
-                rows,
-                512 * -(-int(worst * 1.08 + 512) // 512),
-            )
-            seq._jit_cache[cap_key] = cap
-    elif compact_rows:
-        cap = min(int(compact_rows), rows)
-    if cap is not None and cap >= rows:
-        cap = None  # nothing to gain
+    cap = _serve_compact_cap(seq, readings, rows, seed, compact_rows)
 
     cache_key = (
         "serve_fused", b, rows, reference.num_points,
@@ -526,6 +485,54 @@ def _build_serve_runner(seq, b: int, cap):
     return jax.jit(serve, static_argnames=())
 
 
+def _serve_compact_cap(seq, readings, rows, seed, compact_rows="auto"):
+    """Static in-program compaction capacity for serving (None = disabled).
+
+    "auto" probes the chain once per (shape, config): one host sync. The
+    cap is sized from the probe's KEEP-RATE applied to the batch's full
+    padded capacity — not the probe scan's own survivor count — so a
+    later, denser scan hitting the same cache key still fits (advisor
+    finding, round 1)."""
+    cap = None
+    if compact_rows == "auto":
+        cap_key = (
+            "serve_cap", rows,
+            seq._config_fingerprint(),
+            tuple(
+                (type(f).__name__, tuple(sorted(f.parameters.items())))
+                for f in seq.reading_filters
+            ),
+        )
+        cap = seq._jit_cache.get(cap_key)
+        if cap is None:
+            probe = apply_filter_chain_traced(
+                tuple(seq.reading_filters), readings[0],
+                jax.random.fold_in(jax.random.PRNGKey(seed), 0),
+            )
+            n, n_in = (
+                int(v)
+                for v in np.asarray(
+                    jax.device_get(
+                        jnp.stack(
+                            [jnp.sum(probe.mask), readings[0].count()]
+                        )
+                    )
+                )
+            )
+            keep_rate = n / max(n_in, 1)
+            worst = keep_rate * rows
+            cap = min(
+                rows,
+                512 * -(-int(worst * 1.08 + 512) // 512),
+            )
+            seq._jit_cache[cap_key] = cap
+    elif compact_rows:
+        cap = min(int(compact_rows), rows)
+    if cap is not None and cap >= rows:
+        cap = None  # nothing to gain
+    return cap
+
+
 def _host_rows(cloud: PointCloud):
     """Raw padded host rows (points, mask) of a cloud — row indices match
     the device layout (to_numpy() compacts, which would not)."""
@@ -557,29 +564,60 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
     T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
     rows = batch_reading.points.shape[-2]
 
-    # host tile assignments from initial poses (motionBound covers the
+    # host matcher prep from initial poses (motionBound covers the
     # loop's corrections; see BlockGridMatcher)
-    pers = []
-    shared = None
-    for i, rd in enumerate(readings):
-        pts, mask = _host_rows(rd)
-        T_rmd = Trm_inv_h @ np.asarray(T_inits[i], np.float64)
-        moved = pts @ T_rmd[:dim, :dim].T + T_rmd[:dim, dim]
-        out = seq.matcher.prepare_loop_host(moved, mask)
-        per, shared = out
-        pers.append(per)
-    if "q_rows" not in pers[0]:
-        # generic aux (e.g. KDTreeMatcher's per-scan Morton ordering):
-        # per-scan entries share shapes by construction — plain stack
-        per_aux = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, axis=0), *pers
+    batch_prep = getattr(seq.matcher, "prepare_loop_host_batch", None)
+    if batch_prep is not None:
+        # one vectorized pass over the whole batch (per-scan sequential
+        # Morton prep measured ~9 ms/scan at 25k points)
+        pts_b = np.zeros((b, rows, dim), np.float32)
+        mask_b = np.zeros((b, rows), bool)
+        for i, rd in enumerate(readings):
+            pts, mask = _host_rows(rd)
+            T_rmd = Trm_inv_h @ np.asarray(T_inits[i], np.float64)
+            n_i = len(pts)
+            pts_b[i, :n_i] = pts @ T_rmd[:dim, :dim].T + T_rmd[:dim, dim]
+            mask_b[i, :n_i] = mask
+        per_aux, shared = batch_prep(pts_b, mask_b)
+        pers = None
+    else:
+        pers = []
+        shared = None
+        for i, rd in enumerate(readings):
+            pts, mask = _host_rows(rd)
+            T_rmd = Trm_inv_h @ np.asarray(T_inits[i], np.float64)
+            moved = pts @ T_rmd[:dim, :dim].T + T_rmd[:dim, dim]
+            out = seq.matcher.prepare_loop_host(moved, mask)
+            per, shared = out
+            pers.append(per)
+    if pers is None or "q_rows" not in pers[0]:
+        # generic aux (KDTreeMatcher's skip path): per-scan entries share
+        # shapes by construction — plain stack. The loop runs entirely in
+        # Morton-sorted space: prep permutes each scan's rows by its
+        # "qorder" (then compacts — compaction preserves relative order,
+        # so survivors stay Morton-coherent) and the reference is the
+        # matcher's once-sorted copy, so the per-iteration step does no
+        # row gathers at all (see KDTreeMatcher.find_closests_in_stateful).
+        if pers is not None:
+            per_aux = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=0), *pers
+            )
+        ref_loop = seq.matcher.serving_reference(reference)
+        permutes = getattr(
+            type(seq.matcher), "SERVING_PERMUTES_READING", False
         )
+        cap = (
+            _serve_compact_cap(seq, readings, rows, seed)
+            if permutes else None
+        )
+        per0 = jax.tree_util.tree_map(lambda x: x[0], per_aux)
         aux_shapes = tuple(sorted(
-            (k, tuple(v.shape)) for p in (pers[0], shared or {})
+            (k, tuple(v.shape)) for p in (per0, shared or {})
             for k, v in p.items()
         ))
         cache_key = (
             "serve_aux_g", b, rows, reference.num_points, dim, aux_shapes,
+            cap, permutes,
             batch_reading.descriptor_labels(),
             reference.descriptor_labels(),
             seq._config_fingerprint(),
@@ -590,15 +628,17 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         )
         runner = seq._jit_cache.get(cache_key)
         if runner is None:
-            runner = _build_serve_runner_aux(seq, b)
+            runner = _build_serve_runner_aux(
+                seq, b, permute_compact_cap=cap, permutes=permutes
+            )
             seq._jit_cache[cache_key] = runner
-        T_out, iters, codes, stats = runner(
-            batch_reading, T_inits_b, Trm, reference, jnp.int32(seed),
+        T_out, iters, codes, stats, overflow = runner(
+            batch_reading, T_inits_b, Trm, ref_loop, jnp.int32(seed),
             per_aux, shared,
         )
-        T_out, iters, codes, pur, wpur, res = jax.device_get(
+        T_out, iters, codes, pur, wpur, res, overflow = jax.device_get(
             (T_out, iters, codes, stats.point_used_ratio,
-             stats.weighted_point_used_ratio, stats.residual)
+             stats.weighted_point_used_ratio, stats.residual, overflow)
         )
         info = {
             "iterations": np.asarray(iters),
@@ -606,7 +646,7 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
             "point_used_ratio": np.asarray(pur),
             "weighted_point_used_ratio": np.asarray(wpur),
             "residual": np.asarray(res),
-            "compact_overflow": np.zeros(b, bool),
+            "compact_overflow": np.asarray(overflow),
         }
         return np.asarray(T_out), info
 
@@ -673,7 +713,7 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         runner = _build_serve_runner_aux(seq, b)
         seq._jit_cache[cache_key] = runner
 
-    T_out, iters, codes, stats = runner(
+    T_out, iters, codes, stats, _ = runner(
         batch_reading, T_inits_b, Trm, reference, jnp.int32(seed),
         per_aux, shared,
     )
@@ -714,38 +754,59 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
     return np.asarray(T_out), info
 
 
-def _build_serve_runner_aux(seq, b: int):
+def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,
+                            permutes=False):
     """One-program fused serving runner with per-scan matcher loop state
-    (see _register_batch_to_map_aux). No in-program compaction: the tile
+    (see _register_batch_to_map_aux).
+
+    Tile path (``permutes`` False): no in-program compaction — the tile
     assignment's row indices must keep addressing the raw padded rows, and
-    the sweep's cost scales with assigned tiles, not rows."""
+    the sweep's cost scales with assigned tiles, not rows.
+
+    Skip path (``permutes`` True): prep consumes the per-scan ``qorder``
+    (Morton permutation of the raw rows, valid after filtering because
+    filters only flip the mask) and then compacts to the static cap —
+    compaction preserves relative order, so survivors stay
+    Morton-coherent and the loop pays only for surviving rows."""
     from ..icp import _apply_transform
 
     reading_filters = tuple(seq.reading_filters)
     transformations = tuple(seq.transformations)
     run_loop = seq.make_loop_runner()
+    cap = permute_compact_cap
 
     def serve(batch_reading, T_inits_b, Trm, reference, seed, per_aux,
               shared_aux):
         key = jax.random.PRNGKey(seed)
         Trm_inv = se3.inverse(Trm)
 
-        def prep(reading, T_init, i):
+        def prep(reading, T_init, i, pa):
             kr = jax.random.fold_in(key, i)
             reading = apply_filter_chain_traced(reading_filters, reading, kr)
+            overflow = jnp.bool_(False)
+            if permutes:
+                reading = reading.permute_rows(pa["qorder"])
+                if cap is not None:
+                    overflow = reading.count() > cap
+                    reading = reading.compact_traced(cap)
             T_rmd = Trm_inv @ T_init
-            return _apply_transform(transformations, reading, T_rmd), T_rmd
+            return (
+                _apply_transform(transformations, reading, T_rmd),
+                T_rmd,
+                overflow,
+            )
 
-        prepped, T_rmd_b = jax.vmap(prep, in_axes=(0, 0, 0))(
-            batch_reading, T_inits_b, jnp.arange(b)
+        prepped, T_rmd_b, overflow = jax.vmap(prep, in_axes=(0, 0, 0, 0))(
+            batch_reading, T_inits_b, jnp.arange(b), per_aux
         )
 
         def loop_one(reading, pa):
-            return run_loop(reading, reference, {**pa, **shared_aux})
+            aux = dict(shared_aux) if permutes else {**pa, **shared_aux}
+            return run_loop(reading, reference, aux)
 
         T_iter, iters, code, stats = jax.vmap(loop_one)(prepped, per_aux)
         T_out = jnp.einsum("ij,bjk,bkl->bil", Trm, T_iter, T_rmd_b)
-        return T_out, iters, code, stats
+        return T_out, iters, code, stats, overflow
 
     return jax.jit(serve)
 

@@ -24,6 +24,9 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(ks.pl, "pallas_call", patched)
 
 
+GROUP = 2  # super-chunk = GROUP * 128 map rows per skip decision
+
+
 def _tables(r, rm):
     rorder, _ = ks.morton_argsort(r, rm)
     rs = r[rorder]
@@ -34,7 +37,7 @@ def _tables(r, rm):
     rt[:d, :m] = rs.T
     rpen = np.full((1, m_pad), np.inf, np.float32)
     rpen[0, :m] = np.where(rsm, 0.0, np.inf)
-    cbox = ks.chunk_bboxes(rs, rsm)
+    cbox = ks.chunk_bboxes(rs, rsm, chunk=128 * GROUP)
     return rorder, rs, rt, rpen, cbox
 
 
@@ -79,14 +82,16 @@ def test_skip_mask_never_hides_true_nn():
     nn = d2.argmin(1)
     for qi in np.flatnonzero(qsm):
         ti = qi // 128
-        cj = nn[qi] // 128
+        cj = nn[qi] // (128 * GROUP)
         assert skip[ti, cj] == 0, (qi, ti, cj)
     # and it does skip something on clustered data with real bounds
     assert skip.mean() > 0.1
 
 
 def test_skip_kernel_matches_brute_force(interpret_mode):
-    q, qm, r, rm = _cloudlike(seed=1)
+    # enough map rows for several super-chunks per tile (the warm-bound
+    # skip assertion below needs coarse-granularity decisions to fire)
+    q, qm, r, rm = _cloudlike(n=1200, m=3000, seed=1)
     rorder, rs, rt, rpen, cbox = _tables(r, rm)
     qorder, qinv = ks.morton_argsort(q, qm)
     qs = q[qorder]
@@ -97,7 +102,7 @@ def test_skip_kernel_matches_brute_force(interpret_mode):
                               jnp.asarray(ub2), jnp.asarray(cbox), 128)
     d_s, i_s = ks.nn1_sorted_skip(
         jnp.asarray(qs), jnp.asarray(qsm), jnp.asarray(rt),
-        jnp.asarray(rpen), skip, tile_q=128)
+        jnp.asarray(rpen), skip, tile_q=128, group=GROUP)
     d_s, i_s = np.asarray(d_s), np.asarray(i_s)
     db, ib = knn_brute_force(q, qm, r, rm, k=1)
     db = np.asarray(db)[:, 0]
@@ -117,7 +122,7 @@ def test_skip_kernel_matches_brute_force(interpret_mode):
     assert np.asarray(skip2).mean() > np.asarray(skip).mean()
     d_s2, i_s2 = ks.nn1_sorted_skip(
         jnp.asarray(qs), jnp.asarray(qsm), jnp.asarray(rt),
-        jnp.asarray(rpen), skip2, tile_q=128)
+        jnp.asarray(rpen), skip2, tile_q=128, group=GROUP)
     np.testing.assert_allclose(np.asarray(d_s2)[qsm], d_s[qsm],
                                rtol=1e-6, atol=1e-7)
     assert np.array_equal(np.asarray(i_s2)[qsm], i_s[qsm])
@@ -136,31 +141,45 @@ def test_stateful_matcher_exact_and_converging(interpret_mode, monkeypatch):
         return c.replace(mask=jnp.asarray(mm)), mm
 
     monkeypatch.setattr(matchers, "_use_pallas", lambda: True)
+    monkeypatch.setenv("PMTPU_SERVE_SKIP", "1")
     q, qm0, r, rm0 = _cloudlike(n=600, m=700, seed=5)
-    reading, qm = masked_cloud(q, qm0)
+    reading0, qm0f = masked_cloud(q, qm0)
     reference, _ = masked_cloud(r, rm0)
     mat = matchers.KDTreeMatcher()
     assert mat.serving_loop_aux(reference)
-    qpts = np.asarray(reading.points)
-    per, shared = mat.prepare_loop_host(qpts, qm)
-    aux = {**per, **shared}
-    state = mat.loop_state_init(reading, aux)
-    ref_plain = mat.find_closests_in(reading, reference)
-    m1, state = mat.find_closests_in_stateful(reading, reference, aux, state)
+    # the loop runs in sorted space: prep permutes the reading once and
+    # substitutes the sorted reference (parallel/batch.py does both)
+    ref_sorted = mat.serving_reference(reference)
+    assert ref_sorted is not reference
+    qpts = np.asarray(reading0.points)
+    per, shared = mat.prepare_loop_host(qpts, qm0f)
+    reading = reading0.permute_rows(per["qorder"])
+    qm = np.asarray(reading.mask)
+    state = mat.loop_state_init(reading, shared)
+    ref_plain = mat.find_closests_in(reading, ref_sorted)
+    m1, state = mat.find_closests_in_stateful(
+        reading, ref_sorted, shared, state)
     np.testing.assert_allclose(
         np.asarray(m1.dists)[qm], np.asarray(ref_plain.dists)[qm],
         rtol=1e-5, atol=1e-6)
     assert np.array_equal(
         np.asarray(m1.ids)[qm], np.asarray(ref_plain.ids)[qm])
-    # warm iteration at a slightly moved pose (same rows, same ordering)
+    # warm iteration at a slightly moved pose: the triangle-inequality
+    # bound transports the previous winner distance, stays exact
     moved = reading.replace(
         points=reading.points + jnp.float32([0.03, -0.02, 0.01]))
-    m2, state = mat.find_closests_in_stateful(moved, reference, aux, state)
-    ref2 = mat.find_closests_in(moved, reference)
+    m2, state = mat.find_closests_in_stateful(
+        moved, ref_sorted, shared, state)
+    ref2 = mat.find_closests_in(moved, ref_sorted)
     np.testing.assert_allclose(
         np.asarray(m2.dists)[qm], np.asarray(ref2.dists)[qm],
         rtol=1e-5, atol=1e-6)
     assert np.array_equal(np.asarray(m2.ids)[qm], np.asarray(ref2.ids)[qm])
+    # batched host prep agrees with the per-scan form
+    per_b, _ = mat.prepare_loop_host_batch(
+        qpts[None], qm0f[None])
+    assert np.array_equal(np.asarray(per_b["qorder"])[0],
+                          np.asarray(per["qorder"]))
 
 
 def test_serving_aux_path_pose_parity(interpret_mode, monkeypatch):
@@ -184,6 +203,7 @@ def test_serving_aux_path_pose_parity(interpret_mode, monkeypatch):
     def serve(force_skip):
         seq = pm.ICPSequence()
         seq.set_default()
+        monkeypatch.setenv("PMTPU_SERVE_SKIP", "1")
         monkeypatch.setattr(
             matchers, "_use_pallas", lambda: bool(force_skip))
         seq.set_map(PointCloud.from_numpy(r), seed=0)
