@@ -244,6 +244,38 @@ class ICPChainBase:
         return _np.asarray(self.last_stats.covariance)
 
 
+def _small_solve(A, b):
+    """Closed-form solve for the AA window system (m ≤ 3: Cramer via the
+    adjugate — branch-free VPU arithmetic that fuses into the loop body;
+    ``jnp.linalg.solve``'s LU lowering is an unfusable sub-routine that
+    serializes inside the vmapped ``while_loop``). Falls back to the
+    general solve for larger windows."""
+    m = A.shape[-1]
+    if m == 1:
+        return b / A[..., 0, 0]
+    if m == 2:
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        x0 = (A[1, 1] * b[0] - A[0, 1] * b[1]) / det
+        x1 = (A[0, 0] * b[1] - A[1, 0] * b[0]) / det
+        return jnp.stack([x0, x1])
+    if m == 3:
+        c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
+        c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
+        c02 = A[1, 0] * A[2, 1] - A[1, 1] * A[2, 0]
+        det = A[0, 0] * c00 + A[0, 1] * c01 + A[0, 2] * c02
+        c10 = A[0, 2] * A[2, 1] - A[0, 1] * A[2, 2]
+        c11 = A[0, 0] * A[2, 2] - A[0, 2] * A[2, 0]
+        c12 = A[0, 1] * A[2, 0] - A[0, 0] * A[2, 1]
+        c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
+        c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
+        c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        x0 = (c00 * b[0] + c10 * b[1] + c20 * b[2]) / det
+        x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det
+        x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det
+        return jnp.stack([x0, x1, x2])
+    return jnp.linalg.solve(A, b)
+
+
 def _apply_transform(transformations: Sequence[Transformation], cloud, T):
     for t in transformations:
         cloud = t.compute(cloud, T)
@@ -721,7 +753,7 @@ class ICP(ICPChainBase):
                     jnp.logical_and(valid[:, None] > 0, valid[None, :] > 0),
                     A, jnp.eye(m, dtype=F.dtype),
                 )
-                alpha = jnp.linalg.solve(A, valid)
+                alpha = _small_solve(A, valid)
                 alpha = alpha * valid / jnp.maximum(jnp.sum(alpha * valid), 1e-20)
                 x_acc = alpha @ G
                 T_acc = se3.vec_to_pose(x_acc, dim)
