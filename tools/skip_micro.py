@@ -83,48 +83,48 @@ def main():
     rpen[0, :len(r)] = 0.0
     rs_pad = np.zeros((m_pad, 3), np.float32)
     rs_pad[:len(r)] = rs
-    cbox = ks.chunk_bboxes(rs, np.ones(len(r), bool))
+    GROUP = 4
+    cbox = ks.chunk_bboxes(rs, np.ones(len(r), bool), chunk=128 * GROUP)
     qorder, qinv = ks.morton_argsort(q, qmask)
 
     rt_j = jnp.asarray(rt)
     rpen_j = jnp.asarray(rpen)
-    rs_j = jnp.asarray(rs_pad)
     cbox_j = jnp.asarray(cbox)
-    qorder_j = jnp.asarray(np.broadcast_to(qorder, (B, n_rows)).copy())
-    qinv_j = jnp.asarray(np.broadcast_to(qinv, (B, n_rows)).copy())
-    qfull = jnp.asarray(np.broadcast_to(q, (B, n_rows, 3)).copy())
-    qfm = jnp.asarray(np.broadcast_to(qmask, (B, n_rows)).copy())
     TQ = 256
 
+    # sorted-space pipeline (the shipped form): queries permuted ONCE
+    # outside the loop, triangle-inequality bound carried as (prev_pos,
+    # prev_d2) — no gathers inside the iteration
+    qsorted = jnp.asarray(
+        np.broadcast_to(q[qorder], (B, n_rows, 3)).copy())
+    qsm_j = jnp.asarray(np.broadcast_to(qmask[qorder], (B, n_rows)).copy())
+
     @jax.jit
-    def run_new(qfull):
-        def one(qq, qm, qo, qi, prev, shift):
-            qs = qq[qo] + shift
-            qsm = qm[qo]
-            cand = rs_j[jnp.clip(prev, 0, rs_j.shape[0] - 1)]
-            ub2 = jnp.where(prev >= 0,
-                            jnp.sum((qs - cand) ** 2, -1), jnp.inf)
-            skip = ks.build_skip_mask(qs, qsm, ub2, cbox_j, TQ)
+    def run_new(qsorted):
+        def one(qs, qsm, prev_pos, prev_d2, shift):
+            qs = qs + shift
+            step = jnp.sqrt(jnp.sum((qs - prev_pos) ** 2, -1))
+            ub = jnp.sqrt(prev_d2) + step
+            skip = ks.build_skip_mask(qs, qsm, ub * ub, cbox_j, TQ)
             d, i = ks.nn1_sorted_skip(qs, qsm, rt_j, rpen_j, skip,
-                                      tile_q=TQ)
-            # serving also unsorts + maps ids — include that cost
-            d_o = d[qi]
-            return d_o, i, skip
+                                      tile_q=TQ, group=GROUP)
+            return d, (qs, d), skip
 
         def body(carry, t):
-            acc, prev = carry
+            acc, state = carry
             shift = 0.02 * acc[..., None]
-            d_o, i, skip = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))(
-                qfull, qfm, qorder_j, qinv_j, prev, shift)
-            acc = jnp.mean(d_o, where=jnp.isfinite(d_o))
-            return (acc, i), skip.mean()
+            d, state, skip = jax.vmap(
+                one, in_axes=(0, 0, 0, 0, None))(
+                qsorted, qsm_j, state[0], state[1], shift)
+            acc = jnp.mean(d, where=jnp.isfinite(d))
+            return (acc, state), skip.mean()
 
-        prev0 = jnp.full((B, n_rows), -1, jnp.int32)
+        state0 = (qsorted, jnp.full((B, n_rows), jnp.inf, jnp.float32))
         (acc, _), fracs = jax.lax.scan(
-            body, (jnp.zeros(()), prev0), jnp.arange(K))
+            body, (jnp.zeros(()), state0), jnp.arange(K))
         return acc, fracs
 
-    for name, fn, arg in (("old", run_old, qb), ("new", run_new, qfull)):
+    for name, fn, arg in (("old", run_old, qb), ("new", run_new, qsorted)):
         t0 = time.perf_counter()
         out = jax.block_until_ready(fn(arg))
         print(f"{name}: compile+first {time.perf_counter() - t0:.2f}s")
