@@ -249,15 +249,29 @@ def _small_solve(A, b):
     adjugate — branch-free VPU arithmetic that fuses into the loop body;
     ``jnp.linalg.solve``'s LU lowering is an unfusable sub-routine that
     serializes inside the vmapped ``while_loop``). Falls back to the
-    general solve for larger windows."""
+    general solve for larger windows.
+
+    Returns ``(x, ok)``: ``ok`` is False when the f32 cofactor-expansion
+    determinant is at cancellation noise level relative to the matrix
+    scale (the AA Gram matrix is near-singular exactly when the residual
+    history is collinear — common near convergence — and the computed det
+    can then be pure noise, even wrong-signed). Callers must fall back to
+    the plain fixed-point step when ``ok`` is False."""
     m = A.shape[-1]
     if m == 1:
-        return b / A[..., 0, 0]
+        return b / A[..., 0, 0], jnp.asarray(True)
+    # det formed by cancellation of ~scale^m terms carries absolute noise
+    # ~O(10)*eps_f32*scale^m; below ~1e-5*scale^m the sign itself is
+    # unreliable (and a genuinely tiny det means an ill-conditioned solve
+    # AA should skip anyway)
+    scale = jnp.maximum(jnp.max(jnp.abs(A)), 1e-30)
     if m == 2:
         det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-        x0 = (A[1, 1] * b[0] - A[0, 1] * b[1]) / det
-        x1 = (A[0, 0] * b[1] - A[1, 0] * b[0]) / det
-        return jnp.stack([x0, x1])
+        ok = jnp.abs(det) > 1e-5 * scale * scale
+        safe = jnp.where(ok, det, 1.0)
+        x0 = (A[1, 1] * b[0] - A[0, 1] * b[1]) / safe
+        x1 = (A[0, 0] * b[1] - A[1, 0] * b[0]) / safe
+        return jnp.stack([x0, x1]), ok
     if m == 3:
         c00 = A[1, 1] * A[2, 2] - A[1, 2] * A[2, 1]
         c01 = A[1, 2] * A[2, 0] - A[1, 0] * A[2, 2]
@@ -269,11 +283,13 @@ def _small_solve(A, b):
         c20 = A[0, 1] * A[1, 2] - A[0, 2] * A[1, 1]
         c21 = A[0, 2] * A[1, 0] - A[0, 0] * A[1, 2]
         c22 = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-        x0 = (c00 * b[0] + c10 * b[1] + c20 * b[2]) / det
-        x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det
-        x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det
-        return jnp.stack([x0, x1, x2])
-    return jnp.linalg.solve(A, b)
+        ok = jnp.abs(det) > 1e-5 * scale * scale * scale
+        safe = jnp.where(ok, det, 1.0)
+        x0 = (c00 * b[0] + c10 * b[1] + c20 * b[2]) / safe
+        x1 = (c01 * b[0] + c11 * b[1] + c21 * b[2]) / safe
+        x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / safe
+        return jnp.stack([x0, x1, x2]), ok
+    return jnp.linalg.solve(A, b), jnp.asarray(True)
 
 
 def _apply_transform(transformations: Sequence[Transformation], cloud, T):
@@ -753,7 +769,12 @@ class ICP(ICPChainBase):
                     jnp.logical_and(valid[:, None] > 0, valid[None, :] > 0),
                     A, jnp.eye(m, dtype=F.dtype),
                 )
-                alpha = _small_solve(A, valid)
+                alpha, solve_ok = _small_solve(A, valid)
+                # noise-level det → deterministic plain step (weight 1 on
+                # the newest slot), instead of a garbage extrapolation the
+                # trust region must catch
+                e_new = (slot == (m - 1)).astype(F.dtype)
+                alpha = jnp.where(solve_ok, alpha, e_new)
                 alpha = alpha * valid / jnp.maximum(jnp.sum(alpha * valid), 1e-20)
                 x_acc = alpha @ G
                 T_acc = se3.vec_to_pose(x_acc, dim)

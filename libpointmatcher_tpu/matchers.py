@@ -356,7 +356,12 @@ class KDTreeMatcher(Matcher):
         prev_pos, prev_d2 = state
         step = jnp.sqrt(jnp.sum((qs - prev_pos) ** 2, axis=-1))
         ub = jnp.sqrt(prev_d2) + step          # inf-safe: inf + x = inf
-        ub2 = ub * ub
+        # the sqrt/add/square chain adds three f32 roundings that can land
+        # strictly BELOW the exact d(q_now, w_prev)^2 (fl(fl(sqrt(d2))^2)
+        # < d2 about half the time); inflate by a few ulps so the bound
+        # over-estimates — any over-estimate is still a valid bound, so
+        # the skip mask's exactness contract survives rounding
+        ub2 = (ub * ub) * (1.0 + 4e-7)
         skip = build_skip_mask(qs, qm, ub2, aux["skip_cbox"],
                                self.SKIP_TILE_Q)
         d_s, i_s = nn1_sorted_skip(

@@ -393,7 +393,8 @@ def register_batch_to_map(
         )
     if has_aux:
         return _register_batch_to_map_aux(
-            seq, readings, T_inits, seed, reference
+            seq, readings, T_inits, seed, reference,
+            compact_rows=compact_rows,
         )
 
     batch_reading = _stack_clouds_padded(readings)
@@ -544,7 +545,7 @@ def _host_rows(cloud: PointCloud):
 
 
 def _register_batch_to_map_aux(seq, readings, T_inits, seed,
-                               reference=None):
+                               reference=None, compact_rows="auto"):
     """Fused serving for matchers with per-registration loop state
     (BlockGridMatcher's tile assignment): the assignment is built on the
     host from each scan's pre-transformed raw positions — the exact data
@@ -617,8 +618,10 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         permutes = getattr(
             type(seq.matcher), "SERVING_PERMUTES_READING", False
         )
+        # honor the caller's compact_rows (pin/disable) exactly like the
+        # dense fused path — the auto cap must not silently override it
         cap = (
-            _serve_compact_cap(seq, readings, rows, seed)
+            _serve_compact_cap(seq, readings, rows, seed, compact_rows)
             if permutes else None
         )
         per0 = jax.tree_util.tree_map(lambda x: x[0], per_aux)
