@@ -151,14 +151,21 @@ def main():
     map_batch = 8
     scans = [reading] * map_batch
     register_batch_to_map(seq, scans, seed=0)  # warmup/compile
-    t0 = time.perf_counter()
-    mruns = 3
+    # median of >=5 timed runs with min/max spread: 3-run means through
+    # the noisy relay could not distinguish ~8% box noise from a real
+    # regression (round-3 verdict)
+    mruns = 5
     serve_iters = 0.0
+    serve_samples = []
     for i in range(mruns):
+        t0 = time.perf_counter()
         T_plain, minfo = register_batch_to_map(seq, scans, seed=i + 1)
+        serve_samples.append(time.perf_counter() - t0)
         serve_iters += float(np.mean(minfo["iterations"]))
-    serve_time = (time.perf_counter() - t0) / mruns
+    serve_time = float(np.median(serve_samples))
     serve_throughput = map_batch / serve_time
+    serve_spread = (map_batch / max(serve_samples),
+                    map_batch / min(serve_samples))
     serve_iters /= mruns
 
     # ---- AA-ICP serving (the framework's accelerated production config:
@@ -262,13 +269,45 @@ def main():
     vs_baseline = cpu_time * serve_throughput
     vs_conv = cpu_conv_time * best_throughput
 
+    # regression guard: compare against the last committed round's driver
+    # result and flag loudly when the serving headline dropped >10%
+    regress_note = ""
+    try:
+        import glob
+        import re
+
+        prev_files = sorted(
+            glob.glob(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )
+        if prev_files:
+            with open(prev_files[-1]) as f:
+                prev = json.load(f)
+            prev_val = float(prev.get("parsed", prev).get("value", 0.0))
+            if prev_val > 0 and best_throughput < 0.9 * prev_val:
+                regress_note = (
+                    f"; REGRESSION: headline {best_throughput:.2f}/s is "
+                    f"{(1 - best_throughput / prev_val) * 100:.0f}% below "
+                    f"{os.path.basename(prev_files[-1])} ({prev_val:.2f}/s)"
+                )
+            else:
+                regress_note = (
+                    f"; prev round {prev_val:.2f}/s "
+                    f"({(best_throughput / prev_val - 1) * 100:+.0f}%)"
+                )
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
                 "metric": f"scan-to-map registrations/s/chip ({backend}, "
                 f"car_cloud 25k pts, default point-to-plane chain, "
                 f"batch {map_batch}, headline = {best_label} serving "
-                f"~{serve_iters:.0f} iters; CPU baseline amortized "
+                f"~{serve_iters:.0f} iters, median of {mruns} runs, "
+                f"spread [{serve_spread[0]:.2f}, {serve_spread[1]:.2f}]/s"
+                f"{regress_note}; CPU baseline amortized "
                 f"identically, COMPILED C++ kd-tree+p2plane: "
                 f"{cpu_time * 1e3:.0f} ms/reg at the same iteration budget; "
                 f"convergence-stopped framing: CPU at its own Differential "

@@ -280,12 +280,16 @@ class KDTreeMatcher(Matcher):
         rt[:d, :m] = rs.T
         rpen = np.full((1, m_pad), np.inf, np.float32)
         rpen[0, :m] = np.where(rmask, 0.0, np.inf)
+        from .ops.knn_skip import augmented_ref_table
+
+        ra, _ = augmented_ref_table(rs, rmask, m_pad)
         self._skip_shared = {
             "skip_rt": jnp.asarray(rt),
             "skip_rpen": jnp.asarray(rpen),
             "skip_cbox": jnp.asarray(
                 chunk_bboxes(rs, rmask, chunk=128 * self.SKIP_GROUP)
             ),
+            "skip_ra": jnp.asarray(ra),
         }
         # the loop's reference: the same cloud with every row-aligned
         # field in Morton order, so sorted-space match ids need no
@@ -349,7 +353,10 @@ class KDTreeMatcher(Matcher):
         ‖q_now − q_prev‖, where w_prev is a REAL map point — so the bound
         (and with it every skip decision) is valid unconditionally, with
         no motion-bound assumption and no winner-position gather."""
-        from .ops.knn_skip import build_skip_mask, nn1_sorted_skip
+        from .ops.knn_skip import (
+            approx_min_sorted, augment_queries, bound_margin,
+            build_skip_mask, nn1_sorted_skip,
+        )
 
         qs = reading.points
         qm = reading.mask
@@ -362,6 +369,16 @@ class KDTreeMatcher(Matcher):
         # over-estimates — any over-estimate is still a valid bound, so
         # the skip mask's exactness contract survives rounding
         ub2 = (ub * ub) * (1.0 + 4e-7)
+        if "skip_ra" in aux:
+            # MXU bound pass (ops/knn_skip module comment): a tight
+            # per-query upper bound every iteration — live from iteration
+            # 0, unlike the transported bound. Keep the min of both.
+            n = qs.shape[0]
+            n_pad = -(-n // self.SKIP_TILE_Q) * self.SKIP_TILE_Q
+            qa, q2 = augment_queries(qs, n_pad)
+            amin = approx_min_sorted(qa, aux["skip_ra"])[:n]
+            ub2_mxu = amin + bound_margin(q2, amin)
+            ub2 = jnp.minimum(ub2, ub2_mxu)
         skip = build_skip_mask(qs, qm, ub2, aux["skip_cbox"],
                                self.SKIP_TILE_Q)
         d_s, i_s = nn1_sorted_skip(

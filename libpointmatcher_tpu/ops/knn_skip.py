@@ -44,14 +44,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "SKIP_MAX_MPAD",
+    "BOUND_BIG",
+    "bound_margin",
     "morton_argsort",
     "morton_argsort_batch",
     "chunk_bboxes",
+    "augment_queries",
+    "augmented_ref_table",
+    "approx_min_sorted",
     "build_skip_mask",
     "nn1_sorted_skip",
 ]
 
 _DPAD = 8  # coordinate dim padded to the f32 sublane width
+
+#: penalty magnitude for invalid/padded map rows in the augmented table.
+#: NOT +inf: the MXU's multi-pass bf16 decomposition of an inf operand
+#: produces NaN in the residual term (inf - inf); a large finite value
+#: survives the decomposition and still loses every min.
+BOUND_BIG = 1.0e30
 
 #: largest padded map row count served by the resident-map skip kernel
 #: (the whole [8, m_pad] table sits in VMEM; beyond this the chunked
@@ -147,6 +158,154 @@ def chunk_bboxes(pts_sorted, mask_sorted, chunk: int = 128):
     lo = np.where(np.isnan(lo), np.inf, lo)
     hi = np.where(np.isnan(hi), -np.inf, hi)
     return np.stack([lo, hi], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------- MXU bound pass
+# The skip decision needs, per query, an upper bound U²_q ≥ its true
+# squared NN distance. The transported prev-winner bound (see
+# KDTreeMatcher.find_closests_in_stateful) is free but loose while the
+# pose still moves — and iteration 0 has none, so it sweeps everything.
+# This pass computes a TIGHT bound every iteration at MXU speed: the
+# expansion form ‖q‖²+‖r‖²−2q·r is folded entirely into ONE K=8 matmul
+# by augmenting coordinates (q_aug = [−2q, 1, ‖q‖², 0…],
+# r_aug = [r, ‖r‖², 1, 0…] → q_aug·r_aug = d̃²), so the VPU epilogue is
+# a running per-lane min (~1 op/cell vs ~12 for the exact difference
+# form). The expansion form cancels catastrophically — which is exactly
+# why it is BANNED on exact paths (CLAUDE.md) — but here the result only
+# feeds a bound: amin_q ≤ d̃²(q, r*) ≤ d²(q, r*) + err, so
+# U²_q = amin_q + err ≥ true NN distance for a rigorous absolute error
+# margin err (see bound_margin). Winners still come exclusively from the
+# exact difference-form kernel below.
+
+#: safety factor for the PER-QUERY bound margin. Derivation: amin_q ≤
+#: d̃²(q, r*) = true_min + err(q, r*) where r* is the true winner; the
+#: f32/HIGHEST-matmul error of one augmented dot is
+#: |err| ≤ c·eps·(q² + r*² + 2|q·r*|) ≤ 2c·eps·(q² + r*²), and
+#: r*² ≤ (‖q‖ + √true_min)² ≤ 2q² + 2·true_min, so
+#: |err| ≤ c·eps·(6·q² + 4·true_min). Pairs OTHER than r* cannot drag
+#: amin below true_min − err either: a pair whose d̃² undercuts that
+#: threshold has real d² ≤ true_min + 2·err-scale, i.e. r within the
+#: same ball, so the same bound applies. BOUND_ERR_C covers c and the
+#: true_min ≤ amin + margin substitution; measured effective c on chip
+#: ≈ 0.9 at the worst of 150k real-cloud samples (tools/
+#: skip_bound_check.py demands ≥ 8× headroom on every run).
+BOUND_ERR_C = 8.0
+
+
+def bound_margin(q2, amin):
+    """Traced: PER-QUERY absolute error margin for the augmented-matmul
+    distances — valid wherever ``amin`` came from :func:`approx_min_sorted`
+    over the same queries. ``q2`` [n] squared norms, ``amin`` [n] raw
+    approximate minima (may be slightly negative). The +1e-6 floor keeps
+    the margin nonzero for queries at the origin."""
+    eps = jnp.float32(1.1920929e-07)
+    return BOUND_ERR_C * eps * (
+        8.0 * (q2 + jnp.maximum(amin, 0.0)) + 1e-6
+    )
+
+
+def augment_queries(qs, n_pad: int):
+    """Traced: [n,d] queries → ([n_pad, 8] augmented rows for the bound
+    matmul, [n] squared norms for the per-query error margin).
+    Padded rows are zero → d̃ = ‖r‖² ≥ 0, harmless (their bounds are
+    ignored: build_skip_mask masks by query validity)."""
+    n, d = qs.shape
+    q2 = jnp.sum(qs * qs, axis=1)
+    qa = jnp.zeros((n_pad, _DPAD), jnp.float32)
+    qa = qa.at[:n, :d].set(-2.0 * qs)
+    qa = qa.at[:, 3].set(1.0)
+    qa = qa.at[:n, 4].set(q2)
+    return qa, q2
+
+
+def augmented_ref_table(rs_sorted, rmask_sorted, m_pad: int):
+    """Host: sorted map → ([8, m_pad] augmented table, max ‖r‖² float).
+    Invalid/padded rows carry BOUND_BIG in the ‖r‖² row so they lose every
+    min by ~30 orders of magnitude."""
+    import numpy as np
+
+    rs = np.asarray(rs_sorted, np.float32)
+    rm = np.asarray(rmask_sorted, bool)
+    m, d = rs.shape
+    ra = np.zeros((_DPAD, m_pad), np.float32)
+    ra[:d, :m] = rs.T
+    r2 = np.sum(rs.astype(np.float64) ** 2, axis=1)
+    r2_masked = np.where(rm, r2, 0.0)
+    ra[3, :] = BOUND_BIG
+    ra[3, :m] = np.where(rm, r2, BOUND_BIG).astype(np.float32)
+    ra[4, :m] = 1.0
+    # padded columns keep row4 = 0 → d̃ = BOUND_BIG·1 + q²·0 … still BIG
+    ra[4, m:] = 1.0
+    return ra, float(r2_masked.max(initial=0.0))
+
+
+def _bound_kernel(qa_ref, ra_ref, out_ref, acc, *, nj):
+    """One grid step = one query tile × one map block: d̃² from a single
+    augmented MXU matmul, reduced by a per-lane running min in scratch;
+    the cross-lane min runs once at the last block."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:, :] = jnp.full_like(acc, jnp.inf)
+
+    dots = lax.dot_general(
+        qa_ref[:, :], ra_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )  # [TQ, TM] = d̃² directly
+    tm = dots.shape[1]
+    best = acc[:, :]
+    for ch in range(tm // 128):
+        best = jnp.minimum(best, dots[:, ch * 128:(ch + 1) * 128])
+    acc[:, :] = best
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:, 0] = jnp.min(best, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_m"))
+def approx_min_sorted(qa, ra, tile_q: int = 256, tile_m: int = 2048):
+    """Approximate per-query min squared distance to the map (expansion
+    form on the MXU — bound use only, see module comment).
+
+    qa [n_pad, 8] from :func:`augment_queries`, ra [8, m_pad] from
+    :func:`augmented_ref_table`. Returns [n_pad] f32 d̃² minima.
+    """
+    n_pad, _ = qa.shape
+    m_pad = ra.shape[1]
+    assert n_pad % tile_q == 0 and m_pad % 128 == 0
+    tile_m = min(tile_m, m_pad)
+    nj = -(-m_pad // tile_m)
+    m_full = nj * tile_m
+    if m_full != m_pad:
+        ra = jnp.pad(ra, ((0, 0), (0, m_full - m_pad)))
+        # keep pad columns losing: row3 BIG, row4 1
+        ra = ra.at[3, m_pad:].set(BOUND_BIG)
+        ra = ra.at[4, m_pad:].set(1.0)
+
+    out = pl.pallas_call(
+        functools.partial(_bound_kernel, nj=nj),
+        grid=(n_pad // tile_q, nj),
+        in_specs=[
+            pl.BlockSpec((tile_q, _DPAD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DPAD, tile_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_q, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * m_full * _DPAD + n_pad * m_full,
+            bytes_accessed=4 * (n_pad + m_full) * _DPAD,
+            transcendentals=0,
+        ),
+    )(qa, ra)
+    return out[:, 0]
 
 
 # ------------------------------------------------------------ traced pieces

@@ -142,13 +142,29 @@ def register_batch(
     cap_f = bucket_size(max(c.num_points for c in prepped_references))
     batch_reading = _stack_clouds(prepped_readings, cap_r)
     batch_reference = _stack_clouds(prepped_references, cap_f)
+    multiproc = False
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # DCN axis (SURVEY §2.13): a mesh spanning >1 process — every
+        # process holds the same full batch (deterministic prep), serves
+        # its addressable shards, and gets replicated outputs back so the
+        # final device_get works everywhere (validated by
+        # tools/dryrun_multihost.py, 2 CPU processes x 4 virtual devices)
+        multiproc = len(
+            {d.process_index for d in np.asarray(mesh.devices).flat}
+        ) > 1
 
         def shard_batched(cloud):
             def put(x):
                 spec = P(axis_name, *([None] * (x.ndim - 1)))
-                return jax.device_put(x, NamedSharding(mesh, spec))
+                sh = NamedSharding(mesh, spec)
+                if multiproc:
+                    xl = np.asarray(jax.device_get(x))
+                    return jax.make_array_from_callback(
+                        xl.shape, sh, lambda idx: xl[idx]
+                    )
+                return jax.device_put(x, sh)
 
             return jax.tree_util.tree_map(put, cloud)
 
@@ -156,14 +172,22 @@ def register_batch(
         batch_reference = shard_batched(batch_reference)
 
     cache_key = (
-        "batch", b, cap_r, cap_f, dim,
+        "batch", b, cap_r, cap_f, dim, multiproc,
         batch_reading.descriptor_labels(),
         batch_reference.descriptor_labels(),
         icp._config_fingerprint(),
     )
     runner = icp._jit_cache.get(cache_key)
     if runner is None:
-        runner = jax.jit(jax.vmap(icp.make_loop_runner()))
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            runner = jax.jit(
+                jax.vmap(icp.make_loop_runner()),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        else:
+            runner = jax.jit(jax.vmap(icp.make_loop_runner()))
         icp._jit_cache[cache_key] = runner
     T_iter, iters, codes, stats = runner(batch_reading, batch_reference)
     return _finish_batch(

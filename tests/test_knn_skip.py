@@ -128,6 +128,34 @@ def test_skip_kernel_matches_brute_force(interpret_mode):
     assert np.array_equal(np.asarray(i_s2)[qsm], i_s[qsm])
 
 
+def test_bound_pass_covers_true_min(interpret_mode):
+    """Safety invariant of the MXU bound pass: amin + margin >= the exact
+    squared NN distance for every valid query (a violation would let the
+    skip mask prune the winner's chunk). Also two-sided sanity: amin is
+    within the margin of the truth, so the bound is actually tight."""
+    for seed, scale in [(0, 1.0), (4, 60.0), (9, 0.01)]:
+        q, qm, r, rm = _cloudlike(n=900, m=1100, seed=seed)
+        q = (q * scale).astype(np.float32)
+        r = (r * scale).astype(np.float32)
+        rorder, rs, rt, rpen, cbox = _tables(r, rm)
+        rsm = rm[rorder]
+        m_pad = rt.shape[1]
+        ra, _ = ks.augmented_ref_table(rs, rsm, m_pad)
+        n_pad = -(-len(q) // 256) * 256
+        qa, q2 = ks.augment_queries(jnp.asarray(q), n_pad)
+        amin = np.asarray(ks.approx_min_sorted(qa, jnp.asarray(ra)))[:len(q)]
+        margin = np.asarray(ks.bound_margin(q2, jnp.asarray(amin)))
+        d2 = ((q[:, None, :].astype(np.float64)
+               - rs[None].astype(np.float64)) ** 2).sum(-1)
+        d2[:, ~rsm] = np.inf
+        true_min = d2.min(1)
+        ok = qm & np.isfinite(true_min)
+        assert np.all(amin[ok] + margin[ok] >= true_min[ok]), (
+            seed, scale,
+            float((true_min[ok] - amin[ok] - margin[ok]).max()))
+        assert np.all(amin[ok] <= true_min[ok] + margin[ok])
+
+
 def test_stateful_matcher_exact_and_converging(interpret_mode, monkeypatch):
     """KDTreeMatcher's stateful skip path == its plain dense path, on both
     the cold (state=-1) and warm (carried winners) iterations."""
