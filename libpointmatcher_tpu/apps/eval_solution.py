@@ -114,20 +114,49 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
     from ..cloud import bucket_size
     from ..parallel import register_batch
 
-    # group pairs by padded-shape bucket so every group reuses one compiled
-    # vmapped loop, then sweep each group in chunks of ``batch`` pairs
-    groups = {}
+    # AT MOST TWO padded-shape ladder steps for the whole sweep. Round 3
+    # grouped by per-pair bucket: heterogeneous sequences shattered into
+    # many buckets, each paying a minutes-scale relay compile (141x
+    # per-pair wall spread, EVAL_r03). Now every pair is floored to one of
+    # two (rows_r, rows_f) steps — chosen to minimize total padded cells —
+    # and partial tail chunks are padded to the full batch by repeating
+    # pairs, so an N-pair sweep compiles at most TWO programs total.
+    sized = []
     for i, info in pairs:
-        key = (
-            bucket_size(cloud(info.reading).num_points),
-            bucket_size(cloud(info.reference).num_points),
-        )
-        groups.setdefault(key, []).append((i, info))
+        br = bucket_size(cloud(info.reading).num_points)
+        bf = bucket_size(cloud(info.reference).num_points)
+        sized.append((br * bf, br, bf, i, info))
+    sized.sort(key=lambda s: s[0])
+
+    def ladder_cost(members):
+        if not members:
+            return 0, (0, 0)
+        cr = max(s[1] for s in members)
+        cf = max(s[2] for s in members)
+        return cr * cf * len(members), (cr, cf)
+
+    best = None
+    for split in range(0, len(sized) + 1, max(1, len(sized) // 16 or 1)):
+        lo, hi = sized[:split], sized[split:]
+        c1, cap1 = ladder_cost(lo)
+        c2, cap2 = ladder_cost(hi)
+        # a split only helps if it saves a full extra compile's worth of
+        # padded work; tie-break toward ONE group (one compile)
+        n_groups = int(bool(lo)) + int(bool(hi))
+        cost = c1 + c2
+        if best is None or (cost, n_groups) < best[0]:
+            best = ((cost, n_groups), [(lo, cap1), (hi, cap2)])
+    groups = [(members, cap) for members, cap in best[1] if members]
 
     results = []
-    for key, members in sorted(groups.items()):
+    for members, (cap_r, cap_f) in groups:
         for off in range(0, len(members), batch):
-            chunk = members[off: off + batch]
+            chunk = [(s[3], s[4]) for s in members[off: off + batch]]
+            n_real = len(chunk)
+            # keep the batch axis static: repeat pairs to fill the tail
+            # (a smaller final batch would be a third compiled program)
+            while len(chunk) < batch:
+                chunk.append(chunk[-1])
             readings = [cloud(info.reading) for _, info in chunk]
             references = [cloud(info.reference) for _, info in chunk]
             T_inits = [
@@ -140,9 +169,10 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
             T_b, binfo = register_batch(
                 icp, readings, references, T_inits=T_inits,
                 seed=seed + chunk[0][0],
+                min_rows_reading=cap_r, min_rows_reference=cap_f,
             )
-            wall = (time.perf_counter() - t0) / len(chunk)
-            for b, (i, info) in enumerate(chunk):
+            wall = (time.perf_counter() - t0) / n_real
+            for b, (i, info) in enumerate(chunk[:n_real]):
                 code = int(binfo["codes"][b])
                 err = _CODE_MESSAGES.get(code)
                 T = T_b[b] if err is None else np.eye(readings[0].dim + 1)

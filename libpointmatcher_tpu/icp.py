@@ -714,17 +714,28 @@ class ICP(ICPChainBase):
 
     def _make_anderson_runner(self, step):
         r"""Anderson-accelerated fixed-point driver (AA-ICP,
-        \cite{Pavlov2017AAICP}). The ICP map g(x) is one plain iteration in
-        se(n) pose coordinates; each step extrapolates over a window of the
-        last m fixed-point residuals (constrained least squares, solved via
-        the KKT normal equations — an m x m system on device) and falls back
-        to the plain update whenever the residual norm grows."""
+        \cite{Pavlov2017AAICP}). The ICP map g(x) is one plain iteration;
+        each step extrapolates over a window of the last m fixed-point
+        residuals (constrained least squares via the KKT normal equations
+        — an m x m closed-form solve) and falls back to the plain update
+        whenever the residual norm grows.
+
+        The window runs in FLATTENED-MATRIX space — x = vec(T[:d, :]) —
+        with one Newton–Schulz re-orthogonalization of the extrapolated
+        rotation block (R ← ½R(3I − RᵀR), twice), instead of the round-3
+        se(n) log/exp maps: the log/exp trigonometry was ~3.5 ms/batch-
+        iteration of small-op critical path that erased the iteration
+        savings (ROADMAP round-3 measurement). Extrapolations stay near
+        SO(d) (affine combos of nearby rotations), which is the
+        Newton–Schulz convergence regime; an orthogonality-drift guard
+        and a positive-determinant check fall back to the plain step
+        outside it."""
         m = int(self.acceleration_window)
         track_motion = type(self.matcher).__name__ == "BlockGridMatcher"
 
         def run_loop(reading, reference, matcher_aux=None):
             dim = reading.dim
-            p = 3 if dim == 2 else 6
+            p = dim * (dim + 1)
             T0, checker_states, outlier_states, stats0 = (
                 self._init_loop_state(dim)
             )
@@ -749,8 +760,8 @@ class ICP(ICPChainBase):
                         reading, reference, T_iter, checker_states,
                         outlier_states, iteration, matcher_aux, mstate,
                     )
-                g = se3.pose_to_vec(T_plain)
-                x = se3.pose_to_vec(T_iter)
+                g = T_plain[:dim, :].reshape(-1)
+                x = T_iter[:dim, :].reshape(-1)
                 f = g - x
                 fnorm = jnp.linalg.norm(f)
                 # residual grew → restart the window (safeguard)
@@ -777,12 +788,28 @@ class ICP(ICPChainBase):
                 alpha = jnp.where(solve_ok, alpha, e_new)
                 alpha = alpha * valid / jnp.maximum(jnp.sum(alpha * valid), 1e-20)
                 x_acc = alpha @ G
-                T_acc = se3.vec_to_pose(x_acc, dim)
+                M = x_acc.reshape(dim, dim + 1)
+                R = M[:, :dim]
+                eye_d = jnp.eye(dim, dtype=R.dtype)
+                drift = jnp.linalg.norm(R.T @ R - eye_d)
+                for _ in range(2):  # Newton–Schulz polar projection
+                    R = 0.5 * R @ (3.0 * eye_d - R.T @ R)
+                T_acc = (
+                    jnp.eye(dim + 1, dtype=T_plain.dtype)
+                    .at[:dim, :dim].set(R)
+                    .at[:dim, dim].set(M[:, dim])
+                )
                 # trust region: reject extrapolations far beyond the plain
                 # step (degenerate residual history makes the constrained
                 # solve blow up); checkers only validated T_plain, so a wild
-                # T_acc must never be carried or returned
-                trust = jnp.linalg.norm(x_acc - g) <= 10.0 * fnorm
+                # T_acc must never be carried or returned. The rotation
+                # block must also stay inside the Newton–Schulz regime and
+                # orientation-preserving (a reflection satisfies RᵀR = I).
+                trust = jnp.logical_and(
+                    jnp.linalg.norm(x_acc - g) <= 10.0 * fnorm,
+                    jnp.logical_and(drift < 0.3,
+                                    jnp.linalg.det(R) > 0.5),
+                )
                 use_aa = jnp.logical_and(hist_len > 1, trust)
                 T_next = jnp.where(use_aa, T_acc, T_plain)
                 motion = (

@@ -281,6 +281,7 @@ class KDTreeMatcher(Matcher):
         rpen = np.full((1, m_pad), np.inf, np.float32)
         rpen[0, :m] = np.where(rmask, 0.0, np.inf)
         from .ops.knn_skip import augmented_ref_table
+        from .ops.knn_sweep2 import chunk_summaries, chunked_ref_table
 
         ra, _ = augmented_ref_table(rs, rmask, m_pad)
         self._skip_shared = {
@@ -290,6 +291,12 @@ class KDTreeMatcher(Matcher):
                 chunk_bboxes(rs, rmask, chunk=128 * self.SKIP_GROUP)
             ),
             "skip_ra": jnp.asarray(ra),
+            # survivor-list sweep tables (ops/knn_sweep2 — the default
+            # serving path; the entries above serve the v1 predicated
+            # kernel, opt-in via PMTPU_SKIP_V1=1, and the MXU bound
+            # experiment)
+            "skip_rt3": jnp.asarray(chunked_ref_table(rs, rmask)),
+            "skip_ct": jnp.asarray(chunk_summaries(rs, rmask)),
         }
         # the loop's reference: the same cloud with every row-aligned
         # field in Morton order, so sorted-space match ids need no
@@ -313,6 +320,10 @@ class KDTreeMatcher(Matcher):
         return self._skip_sorted_ref
 
     SERVING_PERMUTES_READING = True  # prep applies per-scan aux "qorder"
+    #: serving computes the Morton order in-program
+    #: (ops/knn_skip.morton_argsort_device) — no per-batch host prep;
+    #: PMTPU_SKIP_HOST_MORTON=1 forces the host LUT path for A/B
+    SERVING_DEVICE_ORDER = True
 
     def prepare_loop_host(self, pts, mask):
         if self._skip_shared is None:
@@ -362,6 +373,25 @@ class KDTreeMatcher(Matcher):
         qm = reading.mask
         prev_pos, prev_d2 = state
         step = jnp.sqrt(jnp.sum((qs - prev_pos) ** 2, axis=-1))
+        import os as _os2
+
+        if ("skip_rt3" in aux
+                and _os2.environ.get("PMTPU_SKIP_V1", "0") != "1"):
+            # survivor-list sweep (ops/knn_sweep2): per-query bbox/ball
+            # bounds and a dynamic loop over surviving 128-row chunks —
+            # no per-chunk branches, no XLA mask stage. The transported
+            # bound rides in as a DISTANCE, inflated 4 ulps for its own
+            # sqrt/add roundings.
+            from .ops.knn_sweep2 import nn1_sorted_v2
+
+            ub_t = (jnp.sqrt(prev_d2) + step) * (1.0 + 4e-7)
+            d_s, i_s, _ = nn1_sorted_v2(
+                qs, qm, ub_t, aux["skip_rt3"], aux["skip_ct"]
+            )
+            new_state = (qs, d_s)
+            matches = Matches(d_s[:, None], i_s[:, None])
+            return self._apply_max_dist(matches), new_state
+
         ub = jnp.sqrt(prev_d2) + step          # inf-safe: inf + x = inf
         # the sqrt/add/square chain adds three f32 roundings that can land
         # strictly BELOW the exact d(q_now, w_prev)^2 (fl(fl(sqrt(d2))^2)
@@ -369,10 +399,16 @@ class KDTreeMatcher(Matcher):
         # over-estimates — any over-estimate is still a valid bound, so
         # the skip mask's exactness contract survives rounding
         ub2 = (ub * ub) * (1.0 + 4e-7)
-        if "skip_ra" in aux:
+        import os as _os
+
+        if "skip_ra" in aux and _os.environ.get(
+                "PMTPU_SKIP_MXU_BOUND", "0") == "1":
             # MXU bound pass (ops/knn_skip module comment): a tight
-            # per-query upper bound every iteration — live from iteration
-            # 0, unlike the transported bound. Keep the min of both.
+            # per-query upper bound every iteration, live from iteration 0
+            # — but OPT-IN: measured 6.7 ms/scan/iteration on chip (the
+            # K=8 HIGHEST dot runs at ~6% MXU utilization), 2.1x the exact
+            # dense kernel it is meant to shortcut
+            # (tools/bound_kernel_micro.py)
             n = qs.shape[0]
             n_pad = -(-n // self.SKIP_TILE_Q) * self.SKIP_TILE_Q
             qa, q2 = augment_queries(qs, n_pad)
@@ -534,8 +570,8 @@ class BlockGridMatcher(Matcher):
 
     PARAMS = (
         Param("knn", "number of nearest neighbors to consider (the tile "
-              "sweep serves k<=16 fused; per-iteration cost grows ~k)",
-              int, 1, min=1, max=16),
+              "sweep serves k<=32 fused; per-iteration cost grows ~k)",
+              int, 1, min=1, max=32),
         Param("maxDist", "maximum distance to consider for neighbors "
               "(required finite)", float, 1.0, min=0.0000001),
         Param("motionBound", "upper bound on how far any reading point "
@@ -655,7 +691,19 @@ class BlockGridMatcher(Matcher):
 @MatcherRegistrar.register
 class KDTreeVarDistMatcher(Matcher):
     """kNN with a per-point maximum radius taken from a reading descriptor
-    (reference: MatchersImpl.cpp:132-150)."""
+    (reference: MatchersImpl.cpp:132-150).
+
+    Large maps get the reference's kd-tree efficiency back through the
+    cell grid: ``prepare_loop`` reads the per-point radii once per
+    registration (they are loop-static — filters only run in prep),
+    builds a cell structure on the host at the GLOBAL max radius, and the
+    per-iteration search touches only candidate cells; each point's own
+    tighter radius is applied as the exact post-mask, so results match
+    the dense sweep bit for bit. Small maps keep the dense sweep (the
+    grid build would cost more than it saves)."""
+
+    #: map size below which the dense sweep beats grid build + culling
+    CULL_MIN_MAP = 16384
 
     PARAMS = (
         Param("knn", "number of nearest neighbors to consider", int, 1, min=1),
@@ -668,11 +716,64 @@ class KDTreeVarDistMatcher(Matcher):
               "search radius", str, "maxSearchDist"),
     )
 
-    def find_closests_in(self, reading: PointCloud, ref: PointCloud) -> Matches:
-        dists, ids = knn_search(
-            reading.points, reading.mask, ref.points, ref.mask, k=self.knn
+    def __init__(self, params=None):
+        super().__init__(params)
+        self._ref_host = None
+        self.cache_token = None
+
+    def init(self, reference: PointCloud) -> None:
+        super().init(reference)
+        import jax
+
+        if reference.num_points >= self.CULL_MIN_MAP:
+            pts, mask = jax.device_get(
+                (reference.points, reference.mask))
+            self._ref_host = (pts, mask)
+        else:
+            self._ref_host = None
+
+    def prepare_loop(self, reading: PointCloud):
+        """Host, once per registration: cell grid over the reference at
+        the reading's max search radius (None → dense sweep)."""
+        if self._ref_host is None:
+            return None
+        import numpy as np
+        import jax
+
+        try:
+            radius = jax.device_get(
+                reading.get_descriptor(self.maxDistField)[:, 0])
+            mask = jax.device_get(reading.mask)
+        except Exception:
+            return None
+        rmax = float(np.max(np.where(np.asarray(mask), radius, 0.0),
+                            initial=0.0))
+        if not np.isfinite(rmax) or rmax <= 0.0:
+            return None
+        from .ops.cellgrid import build_cell_grid
+
+        grid = build_cell_grid(self._ref_host[0], self._ref_host[1], rmax)
+        KDTreeVarDistMatcher._vd_counter = (
+            getattr(KDTreeVarDistMatcher, "_vd_counter", 0) + 1
         )
+        self.cache_token = KDTreeVarDistMatcher._vd_counter
+        return {"grid": grid, "rmax": rmax}
+
+    def find_closests_in(self, reading: PointCloud, ref: PointCloud,
+                         aux=None) -> Matches:
         radius = reading.get_descriptor(self.maxDistField)[:, 0]
+        if aux is not None and aux.get("grid") is not None:
+            from .ops.cellgrid import cell_knn
+
+            dists, ids = cell_knn(
+                reading.points, reading.mask, ref.points, aux["grid"],
+                float(aux["rmax"]), k=self.knn,
+            )
+        else:
+            dists, ids = knn_search(
+                reading.points, reading.mask, ref.points, ref.mask,
+                k=self.knn,
+            )
         keep = dists <= (radius[:, None] ** 2)
         dists = jnp.where(keep, dists, jnp.inf)
         ids = jnp.where(keep, ids, -1)

@@ -136,6 +136,34 @@ def morton_argsort_batch(pts_b, mask_b, bits: int = 10):
     return np.argsort(code, axis=1, kind="stable").astype(np.int32)
 
 
+def morton_argsort_device(pts, mask, bits: int = 10):
+    """Traced: per-scan Morton order ON DEVICE — [n, d] points, [n] mask →
+    [n] int32 order (valid rows by 3D Morton code, invalid rows last,
+    stable). Replaces the host LUT+np.argsort prep (~39 ms per serving
+    batch of 8 through the relay) with in-program vector ops + one
+    ``jnp.argsort`` per scan; the ordering only provides spatial
+    COHERENCE, so it need not be bit-identical to the host path — but it
+    is deterministic (stable sort over the same quantized codes)."""
+    n, d = pts.shape
+    big = jnp.float32(jnp.inf)
+    lo = jnp.min(jnp.where(mask[:, None], pts, big), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], pts, -big), axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    span = jnp.where(
+        jnp.isfinite(hi - lo), jnp.maximum(hi - lo, 1e-9), 1.0
+    )
+    scale = jnp.float32((1 << bits) - 1)
+    q = jnp.clip((pts - lo) / span * scale, 0.0, scale).astype(jnp.uint32)
+    code = jnp.zeros((n,), jnp.uint32)
+    for b in range(bits):
+        sel = jnp.uint32(1) << jnp.uint32(b)
+        for a in range(min(d, 3)):
+            bit = (q[:, a] & sel) >> jnp.uint32(b)
+            code = code | (bit << jnp.uint32(3 * b + a))
+    code = jnp.where(mask, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code, stable=True).astype(jnp.int32)
+
+
 def chunk_bboxes(pts_sorted, mask_sorted, chunk: int = 128):
     """Host: per-chunk [nch, 2, d] bounding boxes of a sorted point set;
     empty chunks get (lo=+inf, hi=-inf) so mindist against them is +inf
@@ -267,7 +295,11 @@ def _bound_kernel(qa_ref, ra_ref, out_ref, acc, *, nj):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q", "tile_m"))
-def approx_min_sorted(qa, ra, tile_q: int = 256, tile_m: int = 2048):
+def approx_min_sorted(qa, ra, tile_q: int = 256, tile_m: int = 512):
+    # tile_m default 512: measured 0.40 ms/sweep at the 25k serving shape
+    # vs 38.9 ms at tile_m=2048 (a ~100x Mosaic layout pathology for the
+    # [256,8]x[8,2048] HIGHEST dot; 4096/8192 are fine too but win
+    # nothing — tools/bound_kernel_micro.py)
     """Approximate per-query min squared distance to the map (expansion
     form on the MXU — bound use only, see module comment).
 

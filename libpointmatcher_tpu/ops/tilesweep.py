@@ -45,8 +45,10 @@ __all__ = ["SubBlocks", "TileAssign", "build_sub_blocks", "assign_tiles",
            "tile_knnk_from_candidates", "TILE_KNN_MAX"]
 
 #: largest k served by the tile-sweep top-k kernel (matches the dense
-#: kernel's KNNK_MAX; per-chunk extraction cost grows ~linearly in k)
-TILE_KNN_MAX = 16
+#: kernel's KNNK_MAX; per-chunk extraction cost grows ~linearly in k —
+#: raised 16 -> 32 in round 4 with exactness tests at k=24; beyond it the
+#: XLA scan serves, still exact)
+TILE_KNN_MAX = 32
 
 SB = 8  # sub-block rows (f32 sublane width)
 

@@ -44,10 +44,13 @@ def _stack_clouds(clouds: Sequence[PointCloud], cap: int) -> PointCloud:
     )
 
 
-def _stack_clouds_padded(clouds: Sequence[PointCloud]) -> PointCloud:
+def _stack_clouds_padded(clouds: Sequence[PointCloud],
+                         min_rows: int = 0) -> PointCloud:
     """Pad to a common bucketed row count and stack — zero host syncs
-    (row counts come from static shapes; padded rows carry mask=False)."""
-    cap = bucket_size(max(c.num_points for c in clouds))
+    (row counts come from static shapes; padded rows carry mask=False).
+    ``min_rows`` floors the bucket so independent batches of a sweep can
+    share one compiled program (the eval ladder)."""
+    cap = bucket_size(max(min_rows, max(c.num_points for c in clouds)))
 
     def pad(x):
         n = x.shape[0]
@@ -67,6 +70,8 @@ def register_batch(
     seed: int = 0,
     mesh=None,
     axis_name: str = "pairs",
+    min_rows_reading: int = 0,
+    min_rows_reference: int = 0,
 ) -> Tuple[np.ndarray, dict]:
     """Register ``readings[i]`` onto ``references[i]`` for all i at once.
 
@@ -75,7 +80,10 @@ def register_batch(
     pipeline as ``ICP.compute`` (reference: ICP.cpp:265-452) with the loop
     vmapped across pairs. With ``mesh`` given, the batch axis is laid out
     across it and each device registers its share of pairs (multi-chip /
-    multi-host scaling axis)."""
+    multi-host scaling axis). ``min_rows_*`` floor the padded row buckets
+    so every batch of a sweep lands on ONE compiled program regardless of
+    which pairs it holds (each distinct shape is a separate relay compile
+    — the round-3 eval sweep paid minutes per bucket)."""
     assert len(readings) == len(references)
     b = len(readings)
     dim = readings[0].dim
@@ -99,7 +107,8 @@ def register_batch(
         and type(icp.matcher).prepare_loop is Matcher.prepare_loop
     )
     if fused:
-        out = _register_batch_fused(icp, readings, references, T_inits, seed)
+        out = _register_batch_fused(icp, readings, references, T_inits, seed,
+                                    min_rows_reading, min_rows_reference)
         if out is not None:
             return out
         # overflow of a probed compaction cap: recompute exactly below
@@ -138,8 +147,12 @@ def register_batch(
         T_refIn_refMean.append(Trm)
         T_refMean_dataIn.append(T_rmd)
 
-    cap_r = bucket_size(max(c.num_points for c in prepped_readings))
-    cap_f = bucket_size(max(c.num_points for c in prepped_references))
+    cap_r = bucket_size(max(
+        min_rows_reading, max(c.num_points for c in prepped_readings)
+    ))
+    cap_f = bucket_size(max(
+        min_rows_reference, max(c.num_points for c in prepped_references)
+    ))
     batch_reading = _stack_clouds(prepped_readings, cap_r)
     batch_reference = _stack_clouds(prepped_references, cap_f)
     multiproc = False
@@ -225,7 +238,9 @@ def _probe_cap(icp, filters, cloud, rows, seed, tag):
     return None if cap >= rows else cap
 
 
-def _register_batch_fused(icp, readings, references, T_inits, seed):
+def _register_batch_fused(icp, readings, references, T_inits, seed,
+                          min_rows_reading: int = 0,
+                          min_rows_reference: int = 0):
     """One-program pair-parallel path (see register_batch): per-pair filter
     chains + centering + pre-transform + fixed-point loop + frame
     composition, vmapped. Returns None when a probed compaction cap
@@ -234,8 +249,8 @@ def _register_batch_fused(icp, readings, references, T_inits, seed):
 
     b = len(readings)
     dim = readings[0].dim
-    batch_reading = _stack_clouds_padded(readings)
-    batch_reference = _stack_clouds_padded(references)
+    batch_reading = _stack_clouds_padded(readings, min_rows_reading)
+    batch_reference = _stack_clouds_padded(references, min_rows_reference)
     rows_r = batch_reading.points.shape[-2]
     rows_f = batch_reference.points.shape[-2]
     T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
@@ -591,8 +606,21 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
 
     # host matcher prep from initial poses (motionBound covers the
     # loop's corrections; see BlockGridMatcher)
+    import os as _os
+
+    use_dev_order = (
+        getattr(type(seq.matcher), "SERVING_DEVICE_ORDER", False)
+        and getattr(seq.matcher, "_skip_shared", None) is not None
+        and _os.environ.get("PMTPU_SKIP_HOST_MORTON", "0") != "1"
+    )
     batch_prep = getattr(seq.matcher, "prepare_loop_host_batch", None)
-    if batch_prep is not None:
+    if use_dev_order:
+        # the Morton order is computed INSIDE the serving program
+        # (ops/knn_skip.morton_argsort_device) — zero per-batch host work
+        per_aux = {}
+        shared = dict(seq.matcher._skip_shared)
+        pers = None
+    elif batch_prep is not None:
         # one vectorized pass over the whole batch (per-scan sequential
         # Morton prep measured ~9 ms/scan at 25k points)
         pts_b = np.zeros((b, rows, dim), np.float32)
@@ -655,7 +683,7 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         ))
         cache_key = (
             "serve_aux_g", b, rows, reference.num_points, dim, aux_shapes,
-            cap, permutes,
+            cap, permutes, use_dev_order,
             batch_reading.descriptor_labels(),
             reference.descriptor_labels(),
             seq._config_fingerprint(),
@@ -667,7 +695,8 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         runner = seq._jit_cache.get(cache_key)
         if runner is None:
             runner = _build_serve_runner_aux(
-                seq, b, permute_compact_cap=cap, permutes=permutes
+                seq, b, permute_compact_cap=cap, permutes=permutes,
+                device_order=use_dev_order,
             )
             seq._jit_cache[cache_key] = runner
         T_out, iters, codes, stats, overflow = runner(
@@ -793,7 +822,7 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
 
 
 def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,
-                            permutes=False):
+                            permutes=False, device_order=False):
     """One-program fused serving runner with per-scan matcher loop state
     (see _register_batch_to_map_aux).
 
@@ -823,7 +852,15 @@ def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,
             reading = apply_filter_chain_traced(reading_filters, reading, kr)
             overflow = jnp.bool_(False)
             if permutes:
-                reading = reading.permute_rows(pa["qorder"])
+                if device_order:
+                    from ..ops.knn_skip import morton_argsort_device
+
+                    order = morton_argsort_device(
+                        reading.points, reading.mask
+                    )
+                    reading = reading.permute_rows(order)
+                else:
+                    reading = reading.permute_rows(pa["qorder"])
                 if cap is not None:
                     overflow = reading.count() > cap
                     reading = reading.compact_traced(cap)

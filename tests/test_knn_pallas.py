@@ -67,7 +67,7 @@ def test_kernel_nonaligned_sizes():
     assert np.array_equal(np.asarray(i1), np.asarray(i2)[:, 0])
 
 
-@pytest.mark.parametrize("k", [2, 5, 10, 16])
+@pytest.mark.parametrize("k", [2, 5, 10, 16, 24])
 def test_knnk_kernel_matches_scan_path(k):
     q, qm, r, rm = _data(n=310, m=1100, seed=3)
     qm[5:9] = False

@@ -15,6 +15,8 @@ from libpointmatcher_tpu.ops.knn import knn_brute_force
 
 @pytest.fixture
 def interpret_mode(monkeypatch):
+    import libpointmatcher_tpu.ops.knn_sweep2 as k2
+
     orig = pl.pallas_call
 
     def patched(*a, **k):
@@ -22,6 +24,7 @@ def interpret_mode(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(ks.pl, "pallas_call", patched)
+    monkeypatch.setattr(k2.pl, "pallas_call", patched)
 
 
 GROUP = 2  # super-chunk = GROUP * 128 map rows per skip decision

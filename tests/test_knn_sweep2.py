@@ -1,0 +1,129 @@
+"""Survivor-list sweep (ops/knn_sweep2.py): interpret-mode exactness vs
+brute force, survival safety (the true winner's chunk always survives),
+transported-bound fusion, and degenerate shapes."""
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import jax.numpy as jnp
+
+import libpointmatcher_tpu.ops.knn_skip as ks
+import libpointmatcher_tpu.ops.knn_sweep2 as k2
+from libpointmatcher_tpu.ops.knn import knn_brute_force
+
+
+@pytest.fixture
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(k2.pl, "pallas_call", patched)
+
+
+def _cloudlike(n=900, m=1400, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    core = rng.normal(size=(n * 3 // 4, 3)) * 0.7
+    peri = rng.uniform(-8, 8, size=(n - len(core), 3))
+    q = (np.concatenate([core, peri]) * scale).astype(np.float32)
+    rcore = rng.normal(size=(m * 3 // 4, 3)) * 0.7 + 0.05
+    rperi = rng.uniform(-8, 8, size=(m - len(rcore), 3))
+    r = (np.concatenate([rcore, rperi]) * scale).astype(np.float32)
+    qm = rng.random(n) < 0.8
+    rm = rng.random(m) < 0.95
+    return q, qm, r, rm
+
+
+def _sorted_tables(r, rm):
+    rorder, _ = ks.morton_argsort(r, rm)
+    rs = r[rorder]
+    rsm = rm[rorder]
+    return rorder, rs, rsm, k2.chunked_ref_table(rs, rsm), \
+        k2.chunk_summaries(rs, rsm)
+
+
+@pytest.mark.parametrize("seed,scale", [(0, 1.0), (3, 50.0), (7, 0.02)])
+def test_v2_matches_brute_force(interpret_mode, seed, scale):
+    q, qm, r, rm = _cloudlike(seed=seed, scale=scale)
+    rorder, rs, rsm, rt3, ct = _sorted_tables(r, rm)
+    qorder, qinv = ks.morton_argsort(q, qm)
+    qs = q[qorder]
+    qsm = qm[qorder]
+
+    # iteration 0: no transported bound
+    ub_t = jnp.full((len(qs),), jnp.inf, jnp.float32)
+    d0, i0, frac0 = k2.nn1_sorted_v2(
+        jnp.asarray(qs), jnp.asarray(qsm), ub_t,
+        jnp.asarray(rt3), jnp.asarray(ct))
+    d0, i0 = np.asarray(d0), np.asarray(i0)
+
+    db, ib = knn_brute_force(q, qm, r, rm, k=1)
+    db = np.asarray(db)[:, 0]
+    ib = np.asarray(ib)[:, 0]
+    ids = np.where(i0 >= 0, rorder[np.clip(i0, 0, None)], -1)[qinv]
+    d = d0[qinv]
+    np.testing.assert_allclose(d[qm], db[qm], rtol=1e-5, atol=1e-6)
+    assert np.array_equal(ids[qm], ib[qm])
+    assert np.all(ids[~qm] == -1)
+    # the centroid bound prunes something even at iteration 0
+    assert float(frac0) < 0.9
+
+    # warm iteration: transported bound from the winners themselves
+    cand = rs[np.clip(i0, 0, len(rs) - 1)]
+    step = 0.0  # same pose: bound = exact winner distance
+    ub_t2 = np.where(
+        i0 >= 0, np.sqrt(((qs - cand) ** 2).sum(1)) + step, np.inf
+    ).astype(np.float32)
+    d1, i1, frac1 = k2.nn1_sorted_v2(
+        jnp.asarray(qs), jnp.asarray(qsm), jnp.asarray(ub_t2),
+        jnp.asarray(rt3), jnp.asarray(ct))
+    np.testing.assert_allclose(np.asarray(d1)[qsm], d0[qsm],
+                               rtol=1e-6, atol=1e-7)
+    assert np.array_equal(np.asarray(i1)[qsm], i0[qsm])
+    assert float(frac1) <= float(frac0) + 1e-6
+
+
+def test_v2_survival_safety(interpret_mode):
+    """Every valid query's true NN chunk must be flagged surviving."""
+    q, qm, r, rm = _cloudlike(n=600, m=1000, seed=11)
+    rorder, rs, rsm, rt3, ct = _sorted_tables(r, rm)
+    qorder, _ = ks.morton_argsort(q, qm)
+    qs = q[qorder]
+    qsm = qm[qorder]
+    tile_q = 256
+    step = 8 * tile_q  # stage A processes 8 tiles per grid step
+    n_pad = -(-len(qs) // step) * step
+    qp = np.zeros((n_pad, 8), np.float32)
+    qp[:len(qs), :3] = qs
+    qp[:, 3] = k2._FAR
+    qp[:len(qs), 3] = np.where(qsm, 0.0, k2._FAR)
+    qp[:, 4] = np.inf
+    _, surv = k2.survivors_and_bounds(jnp.asarray(qp), jnp.asarray(ct),
+                                      tile_q=tile_q)
+    surv = np.asarray(surv)
+    d2 = ((qs[:, None, :].astype(np.float64)
+           - rs[None].astype(np.float64)) ** 2).sum(-1)
+    d2[:, ~rsm] = np.inf
+    nn = d2.argmin(1)
+    for qi in np.flatnonzero(qsm):
+        if not np.isfinite(d2[qi, nn[qi]]):
+            continue
+        assert surv[qi // tile_q, nn[qi] // 128] == 1, qi
+
+
+def test_v2_empty_and_tiny(interpret_mode):
+    # all-invalid queries and a single-chunk map
+    r = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    rm = np.ones(100, bool)
+    _, rs, rsm, rt3, ct = _sorted_tables(r, rm)
+    q = np.zeros((10, 3), np.float32)
+    qm = np.zeros(10, bool)
+    d, ids, _ = k2.nn1_sorted_v2(
+        jnp.asarray(q), jnp.asarray(qm),
+        jnp.full((10,), jnp.inf, jnp.float32),
+        jnp.asarray(rt3), jnp.asarray(ct))
+    assert np.all(np.isinf(np.asarray(d)))
+    assert np.all(np.asarray(ids) == -1)

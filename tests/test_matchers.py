@@ -55,6 +55,34 @@ def test_var_dist_matcher():
     assert np.all(d[50:][finite] <= 0.3**2 + 1e-6)
 
 
+def test_var_dist_culled_path_exact(monkeypatch):
+    """The cell-grid culled route (prepare_loop at the global max radius,
+    per-point radii as the exact post-mask) must reproduce the dense
+    sweep bit for bit (reference: MatchersImpl.cpp:132-150 — kd-tree
+    efficiency with per-point radii)."""
+    from libpointmatcher_tpu.matchers import KDTreeVarDistMatcher
+
+    a, b = clouds(n=500, m=700, seed=21)
+    rng = np.random.default_rng(3)
+    radius = rng.uniform(0.05, 0.6, a.num_points).astype(np.float32)
+    a = a.with_descriptor("myRadius", radius)
+    mtch = Reg.create("KDTreeVarDistMatcher",
+                      {"knn": "2", "maxDistField": "myRadius"})
+    monkeypatch.setattr(KDTreeVarDistMatcher, "CULL_MIN_MAP", 10)
+    mtch.init(b)
+    aux = mtch.prepare_loop(a)
+    assert aux is not None and aux["grid"] is not None
+    m_cull = mtch.find_closests_in(a, b, aux=aux)
+    m_dense = mtch.find_closests_in(a, b)
+    d_c, d_d = np.asarray(m_cull.dists), np.asarray(m_dense.dists)
+    i_c, i_d = np.asarray(m_cull.ids), np.asarray(m_dense.ids)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(d_c), d_c, 0.0),
+        np.where(np.isfinite(d_d), d_d, 0.0), rtol=1e-6, atol=1e-7)
+    assert np.array_equal(np.isfinite(d_c), np.isfinite(d_d))
+    assert np.array_equal(i_c, i_d)
+
+
 def test_no_inliers_raises_through_engine():
     """A NullMatcher yields no usable pairs → ConvergenceError
     (reference: ErrorMinimizer.cpp:76-77)."""
@@ -360,7 +388,7 @@ def test_epsilon_floor_gates_mxu_kernel(monkeypatch):
     assert calls == ["vpu", "vpu", "mxu", "mxu"]
 
 
-@pytest.mark.parametrize("knn,block_cap", [(4, 1024), (4, 128), (8, 1024)])
+@pytest.mark.parametrize("knn,block_cap", [(4, 1024), (4, 128), (8, 1024), (24, 1024)])
 def test_block_grid_knn_exact_vs_brute_force(knn, block_cap):
     """BlockGridMatcher(knn>1) must be exact vs the dense brute force
     within maxDist — the reference matcher contract has knn as a free

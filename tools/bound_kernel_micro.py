@@ -1,9 +1,10 @@
 """On-chip micro-benchmark of the MXU bound kernel (approx_min_sorted).
 
-Times the kernel standalone and vmapped x8 at the serving shape, with a
-dependent-call chain (CLAUDE.md: identical repeated calls through the
-tunnel can return misleadingly fast). Compares precision modes and tile
-sizes to find where the serve-path regression comes from.
+Timing uses a chain of dependent calls INSIDE ONE JIT (lax.fori_loop whose
+carry feeds each step) — the only trustworthy pattern through the relay
+(CLAUDE.md: repeated identical dispatches get memoized and read back
+suspiciously fast; host-side perturbations below f32 resolution repeat
+exactly). One dispatch, one readback, REPS kernel executions.
 """
 
 from __future__ import annotations
@@ -33,17 +34,18 @@ BASE = "/root/reference/examples/data"
 REPS = 20
 
 
-def chain_time(fn, x0, label):
-    """Dependent-chain timing: each call's input depends on the previous
-    call's output so the relay cannot collapse repeats."""
-    out = jax.block_until_ready(fn(x0))  # compile
+def loop_time(step, x0, label, reps=REPS):
+    """step(x, i) -> x (same shape/dtype). One jit, reps dependent calls."""
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, reps, lambda i, c: step(c, i), x)
+
+    jax.block_until_ready(run(x0))  # compile
     t0 = time.perf_counter()
-    x = x0
-    for _ in range(REPS):
-        out = fn(x)
-        x = x0 + out * 1e-12
+    out = run(x0)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / REPS * 1e3
+    dt = (time.perf_counter() - t0) / reps * 1e3
     print(f"{label:44s} {dt:8.2f} ms", flush=True)
     return dt
 
@@ -67,38 +69,58 @@ def main():
     qa = jax.block_until_ready(qa)
     print(f"shape: n_pad={n_pad} m_pad={m_pad}")
 
-    # single-scan kernel, default tiles
-    chain_time(lambda x: ks.approx_min_sorted(x, ra_j)[:, None] * 0 + x,
-               qa, "bound kernel single (tq=256, tm=2048)")
-
-    for tq, tm in [(256, 512), (512, 2048), (1024, 4096), (256, 8192)]:
+    for tq, tm in [(256, 256), (256, 512), (256, 1024), (256, 2048),
+                   (512, 512)]:
         np2 = -(-n // tq) * tq
         qa2, _ = ks.augment_queries(
             jnp.asarray(q_all.astype(np.float32)), np2)
         qa2 = jax.block_until_ready(qa2)
         f = functools.partial(ks.approx_min_sorted, tile_q=tq, tile_m=tm)
-        chain_time(lambda x, f=f: f(x, ra_j)[:, None] * 0 + x, qa2,
-                   f"bound kernel single (tq={tq}, tm={tm})")
 
-    # vmapped x8 (the serving form)
+        def step(x, i, f=f):
+            amin = f(x, ra_j)
+            return x + amin[:, None] * 1e-20
+
+        loop_time(step, qa2, f"bound kernel (tq={tq}, tm={tm})")
+
+    # vmapped x8 (the serving form), default tiles
     qa_b = jnp.stack([qa] * 8)
-    vf = jax.jit(jax.vmap(lambda x: ks.approx_min_sorted(x, ra_j)))
-    chain_time(lambda x: vf(x)[..., None] * 0 + x, qa_b,
-               "bound kernel vmapped x8")
 
-    # what does the exact dense kernel cost at this shape, for reference
+    def stepv(x, i):
+        amin = jax.vmap(lambda a: ks.approx_min_sorted(a, ra_j))(x)
+        return x + amin[..., None] * 1e-20
+
+    loop_time(stepv, qa_b, "bound kernel vmapped x8")
+
+    # on-device Morton order (serving prep replacement), vmapped x8
+    q_raw = jnp.asarray(q_all.astype(np.float32))
+    qm_raw = jnp.ones((n,), bool)
+    q_b = jax.block_until_ready(jnp.stack([q_raw] * 8))
+
+    def stepm(x, i):
+        o = jax.vmap(lambda p: ks.morton_argsort_device(p, qm_raw))(x)
+        return x + o[..., None].astype(jnp.float32) * 1e-20
+
+    loop_time(stepm, q_b, "device morton argsort vmapped x8")
+
+    # exact dense kernel, single scan
     from libpointmatcher_tpu.ops.knn_pallas import knn1_pallas
 
-    q_j = jnp.asarray(q_all.astype(np.float32))
-    qm_j = jnp.ones((n,), bool)
     rs_j = jnp.asarray(rs)
     rm_j = jnp.asarray(rm)
 
-    def dense(x):
-        d, _ = knn1_pallas(x, qm_j, rs_j, rm_j)
-        return x + d[:, None] * 1e-12
+    def stepd(x, i):
+        d, _ = knn1_pallas(x, qm_raw, rs_j, rm_j)
+        return x + d[:, None] * 1e-20
 
-    chain_time(dense, q_j, "exact dense kernel single")
+    loop_time(stepd, q_raw, "exact dense kernel single")
+
+    def stepd8(x, i):
+        d, _ = jax.vmap(
+            lambda xx: knn1_pallas(xx, qm_raw, rs_j, rm_j))(x)
+        return x + d[..., None] * 1e-20
+
+    loop_time(stepd8, q_b, "exact dense kernel vmapped x8")
 
 
 if __name__ == "__main__":
