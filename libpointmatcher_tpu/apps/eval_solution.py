@@ -82,9 +82,40 @@ def _finish_row(i, info, T, wall, iterations, err, verbose=True):
     return row
 
 
+def select_ladder(sizes):
+    """Choose at most TWO (rows_reading, rows_reference) padded-shape
+    ladder steps covering every pair, minimizing total padded cells (each
+    distinct shape is a separate minutes-scale relay compile — round 3's
+    per-pair buckets produced a 141x per-pair wall spread, EVAL_r03).
+    ``sizes``: iterable of (reading_bucket, reference_bucket). Returns an
+    ascending list of 1-2 (cap_r, cap_f) steps; the last covers all."""
+    sized = sorted((br * bf, br, bf) for br, bf in sizes)
+    if not sized:
+        return []
+
+    def cost(members):
+        if not members:
+            return 0, (0, 0)
+        cr = max(s[1] for s in members)
+        cf = max(s[2] for s in members)
+        return cr * cf * len(members), (cr, cf)
+
+    best = None
+    stride = max(1, len(sized) // 16)
+    for split in range(0, len(sized) + 1, stride):
+        lo, hi = sized[:split], sized[split:]
+        c1, cap1 = cost(lo)
+        c2, cap2 = cost(hi)
+        n_groups = int(bool(lo)) + int(bool(hi))
+        key = (c1 + c2, n_groups)
+        if best is None or key < best[0]:
+            best = (key, [cap for cap, m in ((cap1, lo), (cap2, hi)) if m])
+    return best[1]
+
+
 def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
                       limit: int = 0, seed: int = 0, batch: int = 8,
-                      verbose: bool = True):
+                      verbose: bool = True, ladder=None):
     infos = load_file_info_vector(protocol_csv, data_path=data_path)
     if limit:
         infos = infos[:limit]
@@ -114,44 +145,33 @@ def evaluate_protocol(protocol_csv: str, config_yaml: str, data_path: str = "",
     from ..cloud import bucket_size
     from ..parallel import register_batch
 
-    # AT MOST TWO padded-shape ladder steps for the whole sweep. Round 3
-    # grouped by per-pair bucket: heterogeneous sequences shattered into
-    # many buckets, each paying a minutes-scale relay compile (141x
-    # per-pair wall spread, EVAL_r03). Now every pair is floored to one of
-    # two (rows_r, rows_f) steps — chosen to minimize total padded cells —
-    # and partial tail chunks are padded to the full batch by repeating
-    # pairs, so an N-pair sweep compiles at most TWO programs total.
+    # AT MOST TWO padded-shape ladder steps (see select_ladder; a caller
+    # sweeping several protocols passes a GLOBAL ladder so the entire
+    # sweep shares its compiled programs). Every pair is floored to its
+    # step, and partial tail chunks are padded to the full batch by
+    # repeating pairs, so the sweep compiles at most two programs.
     sized = []
     for i, info in pairs:
         br = bucket_size(cloud(info.reading).num_points)
         bf = bucket_size(cloud(info.reference).num_points)
-        sized.append((br * bf, br, bf, i, info))
-    sized.sort(key=lambda s: s[0])
-
-    def ladder_cost(members):
-        if not members:
-            return 0, (0, 0)
-        cr = max(s[1] for s in members)
-        cf = max(s[2] for s in members)
-        return cr * cf * len(members), (cr, cf)
-
-    best = None
-    for split in range(0, len(sized) + 1, max(1, len(sized) // 16 or 1)):
-        lo, hi = sized[:split], sized[split:]
-        c1, cap1 = ladder_cost(lo)
-        c2, cap2 = ladder_cost(hi)
-        # a split only helps if it saves a full extra compile's worth of
-        # padded work; tie-break toward ONE group (one compile)
-        n_groups = int(bool(lo)) + int(bool(hi))
-        cost = c1 + c2
-        if best is None or (cost, n_groups) < best[0]:
-            best = ((cost, n_groups), [(lo, cap1), (hi, cap2)])
-    groups = [(members, cap) for members, cap in best[1] if members]
+        sized.append((br, bf, i, info))
+    if ladder is None:
+        ladder = select_ladder([(br, bf) for br, bf, _, _ in sized])
+    groups = []
+    for cap_r, cap_f in ladder:
+        members = [
+            s for s in sized if s[0] <= cap_r and s[1] <= cap_f
+        ]
+        sized = [s for s in sized if not (s[0] <= cap_r and s[1] <= cap_f)]
+        if members:
+            groups.append((members, (cap_r, cap_f)))
+    for s in sized:  # pairs above every ladder step: own bucket (rare —
+        groups.append(([s], (s[0], s[1])))  # only with a stale ladder)
 
     results = []
     for members, (cap_r, cap_f) in groups:
         for off in range(0, len(members), batch):
-            chunk = [(s[3], s[4]) for s in members[off: off + batch]]
+            chunk = [(s[2], s[3]) for s in members[off: off + batch]]
             n_real = len(chunk)
             # keep the batch axis static: repeat pairs to fill the tail
             # (a smaller final batch would be a third compiled program)

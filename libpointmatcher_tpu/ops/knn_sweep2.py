@@ -220,18 +220,36 @@ def survivors_and_bounds(qp, ct, tile_q: int = 256):
 
 
 # ------------------------------------------------------------ stage B
-def _sweep_kernel(cnt_ref, lst_ref, q_ref, rt3_ref, out_d_ref, out_i_ref,
-                  *, dim, tile_q):
-    """One grid step = one query tile; dynamic loop over its survivors,
-    _B_UNROLL chunks per iteration (duplicate-padded list)."""
+def _sweep_kernel(surv_ref, q_ref, rt3_ref, out_d_ref, out_i_ref,
+                  lst_ref, *, dim, tile_q, nch):
+    """One grid step = one query tile.
+
+    The survivor LIST is built in-kernel by the scalar core — a fori_loop
+    over the SMEM flag row with a conditional SMEM-scratch store per
+    surviving chunk (~few cycles each) — replacing the round-3.5 XLA
+    argsort glue whose in-loop cost erased the kernel win (fixed-budget
+    serving measured at parity). Then a dynamic loop sweeps survivors,
+    _B_UNROLL chunks per iteration (indices clamped to the last survivor;
+    duplicates cannot change a running min)."""
     i = pl.program_id(0)
     qcols = [q_ref[:, c][:, None] for c in range(dim)]
-    n_iter = cnt_ref[i, 0]  # already in _B_UNROLL groups
+
+    def scan_body(ch, cnt):
+        flag = surv_ref[i, ch]
+
+        @pl.when(flag != 0)
+        def _():
+            lst_ref[cnt] = ch
+
+        return cnt + flag
+
+    cnt = lax.fori_loop(0, nch, scan_body, jnp.int32(0))
+    n_iter = (cnt + (_B_UNROLL - 1)) // _B_UNROLL
 
     def body(j, carry):
         best_d, best_i = carry
         for u in range(_B_UNROLL):
-            ch = lst_ref[i, j * _B_UNROLL + u]
+            ch = lst_ref[jnp.minimum(j * _B_UNROLL + u, cnt - 1)]
             blk = rt3_ref[ch]                   # [8, 128]
             d2 = blk[3, :][None, :]             # +inf at invalid rows
             for c in range(dim):
@@ -262,28 +280,25 @@ def _sweep_kernel(cnt_ref, lst_ref, q_ref, rt3_ref, out_d_ref, out_i_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_q",))
-def nn1_survivor_sweep(qp, rt3, lst, cnt, tile_q: int = 256):
+def nn1_survivor_sweep(qp, rt3, surv, tile_q: int = 256):
     """Exact 1-NN over surviving chunks only.
 
     qp [n_pad, 8] (cols 0..2 coords), rt3 [nch, 8, 128] chunked sorted
-    map (row 3 = +inf penalty), lst [ni, nch_pad] int32 survivor chunk
-    ids — survivors first, tail padded with duplicates to a _B_UNROLL
-    multiple — cnt [ni, 1] int32 iteration counts (= ceil(count/unroll)).
+    map (row 3 = +inf penalty), surv [ni, nch_pad] int32 survival flags
+    (from :func:`survivors_and_bounds`, folded to this tile granularity).
     Returns (dists2 [n_pad], ids [n_pad]) — ids index the sorted map;
     +inf/0 where a tile had no survivors (invalid rows masked by caller).
     """
     n_pad = qp.shape[0]
     ni = n_pad // tile_q
     nch = rt3.shape[0]
-    nch_pad = lst.shape[1]
-    assert lst.shape[0] == ni and cnt.shape == (ni, 1)
+    nch_pad = surv.shape[1]
+    assert surv.shape[0] == ni, (surv.shape, ni)
 
     out_d, out_i = pl.pallas_call(
-        functools.partial(_sweep_kernel, dim=3, tile_q=tile_q),
+        functools.partial(_sweep_kernel, dim=3, tile_q=tile_q, nch=nch),
         grid=(ni,),
         in_specs=[
-            pl.BlockSpec((ni, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((ni, nch_pad), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_q, _DPAD), lambda i: (i, 0),
@@ -301,12 +316,13 @@ def nn1_survivor_sweep(qp, rt3, lst, cnt, tile_q: int = 256):
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ),
+        scratch_shapes=[pltpu.SMEM((nch_pad,), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=12 * n_pad * nch * 16,
             bytes_accessed=4 * (n_pad * _DPAD + nch * _DPAD * 128),
             transcendentals=0,
         ),
-    )(cnt, lst, qp, rt3)
+    )(surv, qp, rt3)
     return out_d[:, 0], out_i[:, 0]
 
 
@@ -337,21 +353,9 @@ def nn1_sorted_v2(qs, qm, ub_t, rt3, ct, tile_q: int = 256,
     ni = surv.shape[0]
     if fold > 1:
         surv = jnp.max(surv.reshape(ni // fold, fold, -1), axis=1)
-    # stable argsort of (1 - surv) puts survivors first, ascending chunk
-    # order preserved; padded chunk columns (>= nch) never survive
-    lst = jnp.argsort(1 - surv, axis=1, stable=True).astype(jnp.int32)
-    count = jnp.sum(surv, axis=1, dtype=jnp.int32)
-    # duplicate-pad to an unroll multiple: entry count..count+pad-1 must
-    # repeat a survivor (or chunk 0 when there are none — masked +inf)
-    nch_pad = lst.shape[1]
-    col = lax.broadcasted_iota(jnp.int32, lst.shape, 1)
-    last = jnp.take_along_axis(
-        lst, jnp.maximum(count - 1, 0)[:, None], axis=1
-    )
-    lst = jnp.where(col < count[:, None], lst, last)
-    cnt = (-(-count // _B_UNROLL))[:, None]
-
-    d2, ids = nn1_survivor_sweep(qp, rt3, lst, cnt, tile_q=sweep_tile_q)
+    # list-building happens on the sweep kernel's scalar core (see
+    # _sweep_kernel) — no XLA sort/scatter glue between the stages
+    d2, ids = nn1_survivor_sweep(qp, rt3, surv, tile_q=sweep_tile_q)
     d2 = d2[:n]
     ids = ids[:n]
     finite = jnp.isfinite(d2)

@@ -16,10 +16,10 @@ baseline is the compiled single-thread C++ kd-tree + point-to-plane step
 identically (map prep outside the timer — the ICPSequence::setMap
 contract, reference: ICP.cpp:463-508).
 
-Emits ONE JSON document (default LARGE_r03.json) with the crossover table.
+Emits ONE JSON document (default LARGE_r04.json) with the crossover table.
 
 Usage: python tools/large_reg_bench.py [--sizes 100000 400000]
-       [--out LARGE_r03.json] [--skip-dense-above N]
+       [--out LARGE_r04.json] [--skip-dense-above N]
 """
 
 from __future__ import annotations
@@ -139,6 +139,14 @@ def serve(seq, map_cloud, scans, label, reps=3):
     t0 = time.perf_counter()
     seq.set_map(map_cloud, seed=0)
     prep_s = time.perf_counter() - t0
+    # WARM map prep (the round-3 verdict's demand): the cold number above
+    # is dominated by first-compiles of the filter-chain programs (the
+    # SurfaceNormal kNN at this shape goes through the minutes-scale
+    # remote-compile relay); a second set_map at the same shapes reuses
+    # every program and is the number a production map SWITCH pays
+    t0 = time.perf_counter()
+    seq.set_map(map_cloud, seed=0)
+    prep_warm_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     T_out, info = register_batch_to_map(seq, scans, seed=0)  # compile
     compile_s = time.perf_counter() - t0
@@ -150,13 +158,15 @@ def serve(seq, map_cloud, scans, label, reps=3):
     dt = (time.perf_counter() - t0) / reps
     iters /= reps
     print(f"  {label:10s} {dt * 1e3:9.1f} ms/batch  {BATCH / dt:7.2f} reg/s"
-          f"  iters~{iters:.1f}  (map prep {prep_s:.1f}s, "
-          f"compile {compile_s:.0f}s)")
+          f"  iters~{iters:.1f}  (map prep cold {prep_s:.1f}s / warm "
+          f"{prep_warm_s:.1f}s, compile {compile_s:.0f}s)")
     out = {
         "ms_per_batch": round(dt * 1e3, 1),
         "reg_per_s": round(BATCH / dt, 3),
         "mean_iterations": round(iters, 2),
-        "map_prep_s": round(prep_s, 2),
+        "map_prep_cold_s": round(prep_s, 2),
+        "map_prep_warm_s": round(prep_warm_s, 2),
+        "serve_compile_s": round(compile_s, 2),
     }
     mbe = info.get("motion_bound_exceeded")
     if mbe is not None:
@@ -201,7 +211,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[100_000, 400_000])
-    ap.add_argument("--out", default="LARGE_r03.json")
+    ap.add_argument("--out", default="LARGE_r04.json")
     ap.add_argument("--skip-dense-above", type=int, default=1_000_000)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()

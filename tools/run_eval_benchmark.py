@@ -47,7 +47,7 @@ def main(argv=None):
 
     from synth_eth import SEQUENCES, generate
     from libpointmatcher_tpu.apps.eval_solution import (
-        evaluate_protocol, summarize,
+        evaluate_protocol, select_ladder, summarize,
     )
 
     if a.data:
@@ -57,6 +57,27 @@ def main(argv=None):
     else:
         root = tempfile.mkdtemp(prefix="synth_eth_")
         protocols = generate(root, n_scans=a.scans)
+
+    # GLOBAL shape ladder across all sequences: one (or two) compiled
+    # programs for the entire multi-sequence sweep instead of one per
+    # per-sequence bucket (the round-3 compile cliff: 141x per-pair wall
+    # spread across heterogeneous sequences)
+    import libpointmatcher_tpu as pm
+    from libpointmatcher_tpu.cloud import bucket_size
+    from libpointmatcher_tpu.io.filelist import load_file_info_vector
+
+    sizes = []
+    for proto in protocols:
+        for info in load_file_info_vector(proto):
+            if info.reference is None:
+                continue
+            sizes.append((
+                bucket_size(pm.io.load(info.reading).num_points),
+                bucket_size(pm.io.load(info.reference).num_points),
+            ))
+    ladder = select_ladder(sizes)
+    print(f"global shape ladder: {ladder} over {len(sizes)} pairs",
+          flush=True)
 
     out = {
         "backend": jax.default_backend(),
@@ -71,7 +92,7 @@ def main(argv=None):
         for proto in protocols:
             seq = os.path.basename(os.path.dirname(proto))
             rows = evaluate_protocol(proto, yaml_path, batch=a.batch,
-                                     verbose=False)
+                                     verbose=False, ladder=ladder)
             seq_results[seq] = summarize(rows)
             all_rows.extend(rows)
         wall = time.perf_counter() - t0
