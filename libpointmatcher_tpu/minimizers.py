@@ -122,21 +122,64 @@ def solve_possibly_underdetermined(A, b):
 
     The reference branches: Cholesky when invertible, else rank-reduced QR
     minimal-norm solution with a double-precision SVD fallback
-    (reference: PointToPlane.cpp:108-161). Inside jit we use the branch-free
-    equivalent — eigendecomposition pseudo-inverse with a relative rank
-    cutoff — which equals the Cholesky solution at full rank and the
-    minimal-norm solution when singular (the ``icpSingular`` oracle).
+    (reference: PointToPlane.cpp:108-161). Inside jit we use a branch-free
+    equivalent: RIDGED unrolled Cholesky. The normal equations are always
+    CONSISTENT (b = Fᵀr lies in range(FᵀF) by construction), so the
+    Tikhonov solution (A + λI)⁻¹b equals the full-rank Cholesky solution
+    when A is invertible and converges to the minimal-norm pseudo-inverse
+    solution as λ→0 when A is singular (exactly-zero directions receive
+    exactly-zero right-hand components) — the ``icpSingular`` oracle
+    criterion. λ is relative (3e-7·trace/p ≈ the old pinv rank cutoff).
 
-    The eigendecomposition is a fused cyclic-Jacobi (utils/smalleig.py) —
-    XLA's generic eigh kernel cost ~0.5 ms per ICP iteration on TPU for
-    this 6x6."""
-    from .utils.smalleig import eigh_jacobi
+    Why not the cyclic-Jacobi pseudo-inverse of rounds 2-3: its 75
+    SEQUENTIAL plane rotations are pure latency inside the fused loop —
+    measured 1.66 ms per serving batch-iteration on chip, ~35% of the
+    whole minimizer (tools/minimizer_micro.py); the unrolled Cholesky's
+    dependency depth is ~3x shorter with far lighter steps.
+    ``PMTPU_SOLVE=jacobi`` restores the old path for A/B."""
+    import os
 
-    w, V = eigh_jacobi(A)
     p = A.shape[0]
-    tol = jnp.max(jnp.abs(w)) * p * 1e-7
-    winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
-    return V @ (winv * (V.T @ b))
+    if os.environ.get("PMTPU_SOLVE", "") == "jacobi":
+        from .utils.smalleig import eigh_jacobi
+
+        w, V = eigh_jacobi(A)
+        tol = jnp.max(jnp.abs(w)) * p * 1e-7
+        winv = jnp.where(w > tol, 1.0 / jnp.where(w > tol, w, 1.0), 0.0)
+        return V @ (winv * (V.T @ b))
+
+    lam = jnp.trace(A) / p * 3e-7 + 1e-30
+    # unrolled Cholesky of A + λI (static python loops → fused scalar
+    # graph; every quantity is a 0-d array so the whole solve vmaps)
+    L = [[None] * p for _ in range(p)]
+    inv_d = [None] * p
+    for k in range(p):
+        s = A[k, k] + lam
+        for j in range(k):
+            s = s - L[k][j] * L[k][j]
+        dk = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[k][k] = dk
+        inv_d[k] = 1.0 / dk
+        for i in range(k + 1, p):
+            si = A[i, k]
+            for j in range(k):
+                si = si - L[i][j] * L[k][j]
+            L[i][k] = si * inv_d[k]
+    # forward substitution L y = b
+    y = [None] * p
+    for i in range(p):
+        s = b[i]
+        for j in range(i):
+            s = s - L[i][j] * y[j]
+        y[i] = s * inv_d[i]
+    # back substitution Lᵀ x = y
+    x = [None] * p
+    for i in reversed(range(p)):
+        s = y[i]
+        for j in range(i + 1, p):
+            s = s - L[j][i] * x[j]
+        x[i] = s * inv_d[i]
+    return jnp.stack(x)
 
 
 
@@ -249,12 +292,30 @@ class _PointToPlaneBase(ErrorMinimizer):
             )
 
     def _solve(self, reading, reference, weights, matches):
-        pairs = make_pairs(reading, reference, weights, matches)
         d = reading.dim
         knn = matches.dists.shape[1]
-        normals = gather_pair_descriptor(
-            reference.get_descriptor("normals"), pairs, "reference", knn
-        )  # [P, d]
+        # ONE fused row gather for ref positions + normals: two separate
+        # [P]-row gathers measured 2.53 ms per serving batch-iteration vs
+        # 1.88 fused (tools/minimizer_micro.py); the concat is
+        # loop-invariant (the reference is static inside the fixed-point
+        # loop) so XLA hoists it
+        nrm_src = reference.get_descriptor("normals")
+        fused_src = jnp.concatenate([reference.points, nrm_src], axis=1)
+        n, k = matches.dists.shape
+        valid = jnp.logical_and(
+            jnp.isfinite(matches.dists), weights != 0.0)
+        ids = jnp.maximum(matches.ids, 0)
+        gathered = fused_src[ids].reshape(-1, fused_src.shape[1])
+        pairs = Pairs(
+            w=jnp.where(valid, weights, 0.0).reshape(-1),
+            read=jnp.broadcast_to(
+                reading.points[:, None, :], (n, k, d)).reshape(-1, d),
+            ref=gathered[:, :d],
+            ids=ids.reshape(-1),
+            valid=valid.reshape(-1),
+            dists=jnp.where(valid, matches.dists, 0.0).reshape(-1),
+        )
+        normals = gathered[:, d:d + nrm_src.shape[1]]  # [P, d]
         w = pairs.w
         delta = pairs.read - pairs.ref
 

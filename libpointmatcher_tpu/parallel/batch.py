@@ -28,7 +28,27 @@ from ..icp import ICP
 from ..matchers import Matcher
 from ..utils import se3
 
-__all__ = ["register_batch", "register_batch_to_map"]
+__all__ = ["register_batch", "register_batch_to_map",
+           "PendingRegistration"]
+
+
+class PendingRegistration:
+    """Handle for a dispatched serving batch
+    (``register_batch_to_map(..., block=False)``): jax dispatch is
+    asynchronous, so the device program runs while the host prepares and
+    dispatches the NEXT batch; ``result()`` performs the single
+    synchronized readback. Pipelining batches this way hides the
+    per-batch dispatch + transfer latency behind device compute."""
+
+    def __init__(self, finisher):
+        self._finisher = finisher
+        self._out = None
+
+    def result(self):
+        if self._out is None:
+            self._out = self._finisher()
+            self._finisher = None
+        return self._out
 
 
 def _stack_clouds(clouds: Sequence[PointCloud], cap: int) -> PointCloud:
@@ -371,9 +391,15 @@ def register_batch_to_map(
     compact_rows="auto",
     mesh=None,
     map_axis: str = "points",
+    block: bool = True,
 ) -> Tuple[np.ndarray, dict]:
     """Batched scan-to-map serving: register many readings against the
     persistent map of an ``ICPSequence`` at once.
+
+    ``block=False`` returns a :class:`PendingRegistration` instead of
+    ``(T, info)``: the batch is dispatched (async) and the caller reads
+    it back later via ``.result()`` — dispatch the next batch first and
+    the readback overlaps device compute.
 
     The production shape of the reference's odometry/localization loop
     (reference: ICP.cpp:455-612): the map is filtered, centered and
@@ -427,13 +453,14 @@ def register_batch_to_map(
              or type(seq.matcher).prepare_loop is Matcher.prepare_loop)
     )
     if not fused:
-        return _register_batch_to_map_host(
+        out = _register_batch_to_map_host(
             seq, readings, T_inits, seed, reference
         )
+        return out if block else PendingRegistration(lambda: out)
     if has_aux:
         return _register_batch_to_map_aux(
             seq, readings, T_inits, seed, reference,
-            compact_rows=compact_rows,
+            compact_rows=compact_rows, block=block,
         )
 
     batch_reading = _stack_clouds_padded(readings)
@@ -464,20 +491,26 @@ def register_batch_to_map(
     T_out, iters, codes, stats, overflow = runner(
         batch_reading, T_inits_b, Trm, reference, jnp.int32(seed)
     )
-    # one synchronized pull for everything the host needs
-    T_out, iters, codes, pur, wpur, res, overflow = jax.device_get(
-        (T_out, iters, codes, stats.point_used_ratio,
-         stats.weighted_point_used_ratio, stats.residual, overflow)
-    )
-    info = {
-        "iterations": np.asarray(iters),
-        "codes": np.asarray(codes),
-        "point_used_ratio": np.asarray(pur),
-        "weighted_point_used_ratio": np.asarray(wpur),
-        "residual": np.asarray(res),
-        "compact_overflow": np.asarray(overflow),
-    }
-    return np.asarray(T_out), info
+
+    def finish():
+        # one synchronized pull for everything the host needs
+        T, it, cd, pur, wpur, res, ovf = jax.device_get(
+            (T_out, iters, codes, stats.point_used_ratio,
+             stats.weighted_point_used_ratio, stats.residual, overflow)
+        )
+        info = {
+            "iterations": np.asarray(it),
+            "codes": np.asarray(cd),
+            "point_used_ratio": np.asarray(pur),
+            "weighted_point_used_ratio": np.asarray(wpur),
+            "residual": np.asarray(res),
+            "compact_overflow": np.asarray(ovf),
+        }
+        return np.asarray(T), info
+
+    if not block:
+        return PendingRegistration(finish)
+    return finish()
 
 
 def _build_serve_runner(seq, b: int, cap):
@@ -584,7 +617,8 @@ def _host_rows(cloud: PointCloud):
 
 
 def _register_batch_to_map_aux(seq, readings, T_inits, seed,
-                               reference=None, compact_rows="auto"):
+                               reference=None, compact_rows="auto",
+                               block=True):
     """Fused serving for matchers with per-registration loop state
     (BlockGridMatcher's tile assignment): the assignment is built on the
     host from each scan's pre-transformed raw positions — the exact data
@@ -703,19 +737,26 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
             batch_reading, T_inits_b, Trm, ref_loop, jnp.int32(seed),
             per_aux, shared,
         )
-        T_out, iters, codes, pur, wpur, res, overflow = jax.device_get(
-            (T_out, iters, codes, stats.point_used_ratio,
-             stats.weighted_point_used_ratio, stats.residual, overflow)
-        )
-        info = {
-            "iterations": np.asarray(iters),
-            "codes": np.asarray(codes),
-            "point_used_ratio": np.asarray(pur),
-            "weighted_point_used_ratio": np.asarray(wpur),
-            "residual": np.asarray(res),
-            "compact_overflow": np.asarray(overflow),
-        }
-        return np.asarray(T_out), info
+
+        def finish():
+            T, it, cd, pur, wpur, res, ovf = jax.device_get(
+                (T_out, iters, codes, stats.point_used_ratio,
+                 stats.weighted_point_used_ratio, stats.residual,
+                 overflow)
+            )
+            info = {
+                "iterations": np.asarray(it),
+                "codes": np.asarray(cd),
+                "point_used_ratio": np.asarray(pur),
+                "weighted_point_used_ratio": np.asarray(wpur),
+                "residual": np.asarray(res),
+                "compact_overflow": np.asarray(ovf),
+            }
+            return np.asarray(T), info
+
+        if not block:
+            return PendingRegistration(finish)
+        return finish()
 
     # align per-scan aux shapes (tile/candidate counts differ per scan):
     # pad tiles with -1 query rows (scatter-dropped) and candidate slots
@@ -818,7 +859,10 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
                 f"pre-assigned cell neighborhoods may have been missed; "
                 f"raise motionBound or tighten the priors"
             )
-    return np.asarray(T_out), info
+    # tile path is eager (its motion-bound audit already synchronized);
+    # honor the async contract anyway
+    out = (np.asarray(T_out), info)
+    return out if block else PendingRegistration(lambda: out)
 
 
 def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,

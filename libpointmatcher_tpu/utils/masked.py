@@ -30,29 +30,44 @@ def _select_rank(flat, finite, idx):
     """Exact value of the idx-th (0-based) smallest finite element.
 
     TPU-first selection: instead of a full sort (XLA sorts are the single
-    most expensive primitive we could put inside the ICP loop), bisect over
-    the order-preserving uint32 bit patterns with rank counts — 32 fused
-    reduction passes that terminate on the exact element's bit pattern.
-    Unconditionally exact: on termination hi is the smallest key with
-    count(≤hi) ≥ idx+1 and count(≤hi−1) < idx+1, i.e. the element itself."""
+    most expensive primitive we could put inside the ICP loop), RADIX
+    rank-select over the order-preserving uint32 bit patterns — FOUR
+    sequential byte stages, each one fused histogram reduction (256
+    threshold lanes) + cumsum + first-hit pick. The round-2 bitwise
+    bisection (32 sequential count passes) was pure reduction latency on
+    the loop's critical path: 1.42 ms per serving batch-iteration on chip
+    (tools/minimizer_micro.py); the byte stages do ~8x the arithmetic in
+    1/8th the sequential depth. Unconditionally exact by the same
+    invariant: after each stage, ``prefix`` holds the target element's
+    high bits and ``below`` the number of finite keys strictly under
+    ``prefix``'s range."""
     target = idx + 1
     keys = _sort_key_u32(flat)
     keys = jnp.where(finite, keys, jnp.uint32(0xFFFFFFFF))
 
-    def body(_, carry):
-        lo, hi = carry  # invariant: count(≤lo) < target ≤ count(≤hi)
-        mid = lo + (hi - lo) // jnp.uint32(2)
-        cnt = jnp.sum(jnp.logical_and(finite, keys <= mid))
-        take_low = cnt >= target
-        return (jnp.where(take_low, lo, mid + jnp.uint32(1)),
-                jnp.where(take_low, mid, hi))
-
-    lo, hi = jax.lax.fori_loop(
-        0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFE))
-    )
+    lanes = jnp.arange(256, dtype=jnp.uint32)
+    prefix = jnp.uint32(0)
+    below = jnp.int32(0)
+    for shift in (24, 16, 8, 0):
+        hi_mask = jnp.uint32(0xFFFFFFFF) << jnp.uint32(shift + 8) \
+            if shift != 24 else jnp.uint32(0)
+        active = jnp.logical_and(finite, (keys & hi_mask) == prefix)
+        byte = (keys >> jnp.uint32(shift)) & jnp.uint32(0xFF)
+        hist = jnp.sum(
+            jnp.logical_and(active[:, None],
+                            byte[:, None] == lanes[None, :]),
+            axis=0, dtype=jnp.int32,
+        )
+        cum = jnp.cumsum(hist)
+        hit = (below + cum) >= target  # first True = the target's byte
+        t = jnp.argmax(hit).astype(jnp.uint32)
+        below = below + jnp.sum(
+            jnp.where(lanes < t, hist, 0), dtype=jnp.int32
+        )
+        prefix = prefix | (t << jnp.uint32(shift))
     # invert the key map
-    neg = hi < jnp.uint32(0x80000000)
-    bits = jnp.where(neg, ~hi, hi & jnp.uint32(0x7FFFFFFF))
+    neg = prefix < jnp.uint32(0x80000000)
+    bits = jnp.where(neg, ~prefix, prefix & jnp.uint32(0x7FFFFFFF))
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
