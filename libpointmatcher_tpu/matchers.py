@@ -200,6 +200,7 @@ class KDTreeMatcher(Matcher):
         self._skip_shared = None
         self._skip_for = None  # the map the tables were built for
         self._skip_sorted_ref = None
+        self._skip_stream = False
         self.cache_token = None
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
@@ -232,16 +233,30 @@ class KDTreeMatcher(Matcher):
     # order and paid five ~25k-row gathers per iteration (qorder/qinv
     # reorders, prev-winner position fetch, rorder id translation): 2.4x
     # SLOWER than the dense fused path despite a 63% chunk-skip rate.
+    #: resident-map row count above which the survivor-list sweep
+    #: (ops/knn_sweep2) serves by default: fixed-budget serving measured
+    #: PARITY with the dense kernel at the 12.5k-row car map (314.6 vs
+    #: 320.9 ms/batch — per-grid-step and scalar-loop overheads cancel the
+    #: pruned cells at 196 chunks; ROADMAP round-4 accounting), and the
+    #: pruning fraction grows with chunk count while the overheads stay
+    #: fixed. PMTPU_SERVE_SKIP=1/0 forces the path on/off for A/B.
+    SKIP_AUTO_MIN_MAP = 16384
+    #: largest padded map served by the survivor sweep at all — above
+    #: VMEM residency (knn_skip.SKIP_MAX_MPAD) the streaming variant
+    #: DMAs surviving chunks from HBM, up to this cap (SMEM flag-table
+    #: budget); beyond it, BlockGridMatcher's tile sweep is the tool
+    STREAM_MAX_MPAD = 131072
+
     def serving_loop_aux(self, reference) -> bool:
         import os
 
-        if (os.environ.get("PMTPU_SERVE_SKIP", "0") != "1"
-                # opt-in: measured END-TO-END parity with the dense fused
-                # path at the 25k-car serving shape (kernel alone wins 14%
-                # at 46% super-chunks skipped, but the per-batch host
-                # Morton prep ~33 ms eats it; tools/skip_ab.py) — the
-                # dense path stays the default until the skip path wins
-                # at a production shape
+        mode = os.environ.get("PMTPU_SERVE_SKIP", "auto")
+        if mode == "0":
+            self._skip_shared = None
+            return False
+        if (mode not in ("1", "auto")
+                or (mode == "auto"
+                    and reference.num_points < self.SKIP_AUTO_MIN_MAP)
                 or self.knn != 1
                 or float(self.epsilon) >= 1e-5  # MXU kernel opt-in wins
                 or not _use_pallas()):
@@ -270,34 +285,41 @@ class KDTreeMatcher(Matcher):
         mask = np.asarray(mask, bool)
         m, d = pts.shape
         m_pad = -(-m // 128) * 128
-        if m_pad > SKIP_MAX_MPAD or d > 3:
+        if m_pad > self.STREAM_MAX_MPAD or d > 3:
             self._skip_shared = None
             return False
+        # above VMEM residency the sweep streams survivors from HBM
+        # (ops/knn_sweep2.nn1_survivor_sweep_stream)
+        self._skip_stream = m_pad > SKIP_MAX_MPAD
         rorder, _ = morton_argsort(pts, mask)
         rs = pts[rorder]
         rmask = mask[rorder]
-        rt = np.zeros((8, m_pad), np.float32)
-        rt[:d, :m] = rs.T
-        rpen = np.full((1, m_pad), np.inf, np.float32)
-        rpen[0, :m] = np.where(rmask, 0.0, np.inf)
         from .ops.knn_skip import augmented_ref_table
         from .ops.knn_sweep2 import chunk_summaries, chunked_ref_table
 
-        ra, _ = augmented_ref_table(rs, rmask, m_pad)
+        # survivor-list sweep tables (ops/knn_sweep2 — the default
+        # serving path)
         self._skip_shared = {
-            "skip_rt": jnp.asarray(rt),
-            "skip_rpen": jnp.asarray(rpen),
-            "skip_cbox": jnp.asarray(
-                chunk_bboxes(rs, rmask, chunk=128 * self.SKIP_GROUP)
-            ),
-            "skip_ra": jnp.asarray(ra),
-            # survivor-list sweep tables (ops/knn_sweep2 — the default
-            # serving path; the entries above serve the v1 predicated
-            # kernel, opt-in via PMTPU_SKIP_V1=1, and the MXU bound
-            # experiment)
             "skip_rt3": jnp.asarray(chunked_ref_table(rs, rmask)),
             "skip_ct": jnp.asarray(chunk_summaries(rs, rmask)),
         }
+        if not self._skip_stream:
+            # v1 predicated-kernel + MXU-bound tables (opt-in A/B paths:
+            # PMTPU_SKIP_V1=1 / PMTPU_SKIP_MXU_BOUND=1); their kernels
+            # require VMEM residency, so streaming maps skip them
+            rt = np.zeros((8, m_pad), np.float32)
+            rt[:d, :m] = rs.T
+            rpen = np.full((1, m_pad), np.inf, np.float32)
+            rpen[0, :m] = np.where(rmask, 0.0, np.inf)
+            ra, _ = augmented_ref_table(rs, rmask, m_pad)
+            self._skip_shared.update({
+                "skip_rt": jnp.asarray(rt),
+                "skip_rpen": jnp.asarray(rpen),
+                "skip_cbox": jnp.asarray(
+                    chunk_bboxes(rs, rmask, chunk=128 * self.SKIP_GROUP)
+                ),
+                "skip_ra": jnp.asarray(ra),
+            })
         # the loop's reference: the same cloud with every row-aligned
         # field in Morton order, so sorted-space match ids need no
         # translation (built once per map, like the tables)
@@ -376,7 +398,8 @@ class KDTreeMatcher(Matcher):
         import os as _os2
 
         if ("skip_rt3" in aux
-                and _os2.environ.get("PMTPU_SKIP_V1", "0") != "1"):
+                and (_os2.environ.get("PMTPU_SKIP_V1", "0") != "1"
+                     or "skip_rt" not in aux)):
             # survivor-list sweep (ops/knn_sweep2): per-query bbox/ball
             # bounds and a dynamic loop over surviving 128-row chunks —
             # no per-chunk branches, no XLA mask stage. The transported
@@ -386,7 +409,8 @@ class KDTreeMatcher(Matcher):
 
             ub_t = (jnp.sqrt(prev_d2) + step) * (1.0 + 4e-7)
             d_s, i_s, _ = nn1_sorted_v2(
-                qs, qm, ub_t, aux["skip_rt3"], aux["skip_ct"]
+                qs, qm, ub_t, aux["skip_rt3"], aux["skip_ct"],
+                stream=self._skip_stream,
             )
             new_state = (qs, d_s)
             matches = Matches(d_s[:, None], i_s[:, None])

@@ -51,6 +51,7 @@ __all__ = [
     "chunked_ref_table",
     "survivors_and_bounds",
     "nn1_survivor_sweep",
+    "nn1_survivor_sweep_stream",
     "nn1_sorted_v2",
 ]
 
@@ -326,9 +327,128 @@ def nn1_survivor_sweep(qp, rt3, surv, tile_q: int = 256):
     return out_d[:, 0], out_i[:, 0]
 
 
+# ------------------------------------------- stage B, streaming (large maps)
+def _sweep_stream_kernel(surv_ref, q_ref, rt3_ref, out_d_ref, out_i_ref,
+                         lst_ref, buf, sems, *, dim, tile_q, nch):
+    """Stage B for maps too large to sit in VMEM: ``rt3`` stays in
+    HBM/ANY and each surviving chunk's [8, 128] block is DMA'd into a
+    double-buffered VMEM scratch (guide pattern: start copy j+1, wait j,
+    compute j). Compute per chunk (~0.4 µs) underlaps the ~1-2 µs DMA
+    latency, so throughput ≈ survivors × DMA latency — at large maps the
+    survivor count per tile grows with local density only, while the
+    dense alternative grows with the WHOLE map."""
+    i = pl.program_id(0)
+    qcols = [q_ref[:, c][:, None] for c in range(dim)]
+
+    def scan_body(ch, cnt):
+        flag = surv_ref[i, ch]
+
+        @pl.when(flag != 0)
+        def _():
+            lst_ref[cnt] = ch
+
+        return cnt + flag
+
+    cnt = lax.fori_loop(0, nch, scan_body, jnp.int32(0))
+
+    def get_dma(slot, j):
+        ch = lst_ref[jnp.minimum(j, cnt - 1)]
+        return pltpu.make_async_copy(
+            rt3_ref.at[ch], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(cnt > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(j, carry):
+        best_d, best_i = carry
+        slot = lax.rem(j, 2)
+
+        @pl.when(j + 1 < cnt)
+        def _():
+            get_dma(1 - slot, j + 1).start()
+
+        get_dma(slot, j).wait()
+        ch = lst_ref[jnp.minimum(j, cnt - 1)]
+        blk = buf[slot]                         # [8, 128]
+        d2 = blk[3, :][None, :]                 # +inf at invalid rows
+        for c in range(dim):
+            diff = qcols[c] - blk[c, :][None, :]
+            d2 = d2 + diff * diff
+        take = d2 < best_d
+        best_d = jnp.where(take, d2, best_d)
+        best_i = jnp.where(take, ch * 128, best_i)
+        return best_d, best_i
+
+    init = (
+        jnp.full((tile_q, 128), jnp.inf, jnp.float32),
+        jnp.zeros((tile_q, 128), jnp.int32),
+    )
+    best_d, best_i = lax.fori_loop(0, cnt, body, init)
+    td = jnp.min(best_d, axis=1)
+    lane = jnp.argmin(best_d, axis=1).astype(jnp.int32)
+    base = jnp.sum(
+        jnp.where(
+            lax.broadcasted_iota(jnp.int32, best_d.shape, 1)
+            == lane[:, None],
+            best_i, 0,
+        ),
+        axis=1,
+    )
+    out_d_ref[:, 0] = td
+    out_i_ref[:, 0] = base + lane
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q",))
+def nn1_survivor_sweep_stream(qp, rt3, surv, tile_q: int = 1024):
+    """Streaming variant of :func:`nn1_survivor_sweep` — same contract,
+    ``rt3`` lives in HBM (compiler-chosen/ANY space) and survivors are
+    DMA'd on demand; use when the chunked map exceeds VMEM residency."""
+    n_pad = qp.shape[0]
+    ni = n_pad // tile_q
+    nch = rt3.shape[0]
+    nch_pad = surv.shape[1]
+    assert surv.shape[0] == ni, (surv.shape, ni)
+
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_sweep_stream_kernel, dim=3, tile_q=tile_q,
+                          nch=nch),
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((ni, nch_pad), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_q, _DPAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((surv.shape[1],), jnp.int32),
+            pltpu.VMEM((2, _DPAD, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n_pad * nch * 4,
+            bytes_accessed=4 * (n_pad * _DPAD + nch * _DPAD * 128),
+            transcendentals=0,
+        ),
+    )(surv, qp, rt3)
+    return out_d[:, 0], out_i[:, 0]
+
+
 # ------------------------------------------------------------ full step
 def nn1_sorted_v2(qs, qm, ub_t, rt3, ct, tile_q: int = 256,
-                  sweep_tile_q: int = 1024):
+                  sweep_tile_q: int = 1024, stream: bool = False):
     """One serving-iteration matching step: bounds → survivors → exact
     sweep. qs [n, d] Morton-sorted queries at the current pose, qm [n]
     validity, ub_t [n] transported upper-bound distance (+inf unknown),
@@ -355,7 +475,8 @@ def nn1_sorted_v2(qs, qm, ub_t, rt3, ct, tile_q: int = 256,
         surv = jnp.max(surv.reshape(ni // fold, fold, -1), axis=1)
     # list-building happens on the sweep kernel's scalar core (see
     # _sweep_kernel) — no XLA sort/scatter glue between the stages
-    d2, ids = nn1_survivor_sweep(qp, rt3, surv, tile_q=sweep_tile_q)
+    sweep = nn1_survivor_sweep_stream if stream else nn1_survivor_sweep
+    d2, ids = sweep(qp, rt3, surv, tile_q=sweep_tile_q)
     d2 = d2[:n]
     ids = ids[:n]
     finite = jnp.isfinite(d2)

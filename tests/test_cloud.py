@@ -126,6 +126,21 @@ def test_rank_select_adversarial():
         for q in (0.0, 0.5, 0.85, 1.0):
             idx = min(int(np.floor(len(finite) * q)), len(finite) - 1)
             assert float(masked_quantile(jnp.asarray(v), q)) == finite[idx]
+    # signed + denormal coverage: the radix stages walk the
+    # order-preserving uint32 key bytes, where the sign flip lives in the
+    # top byte and denormals in the bottom ones
+    for trial in range(6):
+        n = int(rng.integers(3, 800))
+        v = rng.normal(scale=rng.choice([1e-38, 1e-6, 1.0, 1e30]),
+                       size=n).astype(np.float32)
+        v[rng.random(n) < 0.15] = -np.float32(rng.random() * 5)
+        v[rng.random(n) < 0.1] = np.inf
+        finite = np.sort(v[np.isfinite(v)])
+        if len(finite) == 0:
+            continue
+        for q in (0.0, 0.3, 0.5, 1.0):
+            idx = min(int(np.floor(len(finite) * q)), len(finite) - 1)
+            assert float(masked_quantile(jnp.asarray(v), q)) == finite[idx]
 
 
 def test_compact_traced_matches_compact():

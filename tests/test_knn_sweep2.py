@@ -114,6 +114,24 @@ def test_v2_survival_safety(interpret_mode):
         assert surv[qi // tile_q, nn[qi] // 128] == 1, qi
 
 
+def test_v2_stream_matches_resident(interpret_mode):
+    """The HBM-streaming sweep (per-survivor DMA, double buffered) must
+    reproduce the VMEM-resident sweep bit for bit."""
+    q, qm, r, rm = _cloudlike(n=800, m=2000, seed=5)
+    rorder, rs, rsm, rt3, ct = _sorted_tables(r, rm)
+    qorder, _ = ks.morton_argsort(q, qm)
+    qs = jnp.asarray(q[qorder])
+    qsm = jnp.asarray(qm[qorder])
+    ub = jnp.full((len(q),), jnp.inf, jnp.float32)
+    d_a, i_a, _ = k2.nn1_sorted_v2(qs, qsm, ub, jnp.asarray(rt3),
+                                   jnp.asarray(ct))
+    d_b, i_b, _ = k2.nn1_sorted_v2(qs, qsm, ub, jnp.asarray(rt3),
+                                   jnp.asarray(ct), stream=True)
+    qsm_np = np.asarray(qsm)
+    assert np.array_equal(np.asarray(d_a)[qsm_np], np.asarray(d_b)[qsm_np])
+    assert np.array_equal(np.asarray(i_a)[qsm_np], np.asarray(i_b)[qsm_np])
+
+
 def test_v2_empty_and_tiny(interpret_mode):
     # all-invalid queries and a single-chunk map
     r = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)

@@ -88,6 +88,12 @@ def main(argv=None):
     for name, yaml_path in OFFICIAL.items():
         seq_results = {}
         all_rows = []
+        # untimed warm-up batch: loading the sweep's compiled program from
+        # the persistent cache takes seconds and otherwise lands entirely
+        # on the first sequence's first chunk (measured: apartment 2.6
+        # s/pair warm vs 0.13 for every later sequence)
+        evaluate_protocol(protocols[0], yaml_path, batch=a.batch,
+                          limit=a.batch, verbose=False, ladder=ladder)
         t0 = time.perf_counter()
         for proto in protocols:
             seq = os.path.basename(os.path.dirname(proto))
