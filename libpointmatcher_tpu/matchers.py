@@ -285,11 +285,20 @@ class KDTreeMatcher(Matcher):
         mask = np.asarray(mask, bool)
         m, d = pts.shape
         m_pad = -(-m // 128) * 128
-        if m_pad > self.STREAM_MAX_MPAD or d > 3:
+        stream_ok = (
+            os.environ.get("PMTPU_SERVE_STREAM", "0") == "1"
+            and m_pad <= self.STREAM_MAX_MPAD
+        )
+        if (m_pad > SKIP_MAX_MPAD and not stream_ok) or d > 3:
             self._skip_shared = None
             return False
         # above VMEM residency the sweep streams survivors from HBM
-        # (ops/knn_sweep2.nn1_survivor_sweep_stream)
+        # (ops/knn_sweep2.nn1_survivor_sweep_stream) — EXPERIMENTAL,
+        # opt-in via PMTPU_SERVE_STREAM=1: interpret-mode bit-parity is
+        # covered by tests, but the first on-chip compile did not finish
+        # within the round-4 validation budget (relay compiles of the
+        # DMA kernel run minutes+); do not default it on until a
+        # committed chip A/B exists
         self._skip_stream = m_pad > SKIP_MAX_MPAD
         rorder, _ = morton_argsort(pts, mask)
         rs = pts[rorder]
