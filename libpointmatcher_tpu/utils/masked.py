@@ -45,6 +45,25 @@ def _select_rank(flat, finite, idx):
     keys = _sort_key_u32(flat)
     keys = jnp.where(finite, keys, jnp.uint32(0xFFFFFFFF))
 
+    import os
+
+    if os.environ.get("PMTPU_SELECT", "") == "bisect":
+        # round-2/3 bitwise bisection, kept for A/B
+        def body(_, carry):
+            lo, hi = carry
+            mid = lo + (hi - lo) // jnp.uint32(2)
+            cnt = jnp.sum(jnp.logical_and(finite, keys <= mid))
+            take_low = cnt >= target
+            return (jnp.where(take_low, lo, mid + jnp.uint32(1)),
+                    jnp.where(take_low, mid, hi))
+
+        lo, hi = jax.lax.fori_loop(
+            0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFE))
+        )
+        neg = hi < jnp.uint32(0x80000000)
+        bits = jnp.where(neg, ~hi, hi & jnp.uint32(0x7FFFFFFF))
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
     lanes = jnp.arange(256, dtype=jnp.uint32)
     prefix = jnp.uint32(0)
     below = jnp.int32(0)
