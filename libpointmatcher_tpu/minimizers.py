@@ -122,25 +122,25 @@ def solve_possibly_underdetermined(A, b):
 
     The reference branches: Cholesky when invertible, else rank-reduced QR
     minimal-norm solution with a double-precision SVD fallback
-    (reference: PointToPlane.cpp:108-161). Inside jit we use a branch-free
-    equivalent: RIDGED unrolled Cholesky. The normal equations are always
-    CONSISTENT (b = Fᵀr lies in range(FᵀF) by construction), so the
-    Tikhonov solution (A + λI)⁻¹b equals the full-rank Cholesky solution
-    when A is invertible and converges to the minimal-norm pseudo-inverse
-    solution as λ→0 when A is singular (exactly-zero directions receive
-    exactly-zero right-hand components) — the ``icpSingular`` oracle
-    criterion. λ is relative (3e-7·trace/p ≈ the old pinv rank cutoff).
+    (reference: PointToPlane.cpp:108-161). Inside jit we use the branch-free
+    equivalent — eigendecomposition pseudo-inverse (fused cyclic Jacobi,
+    utils/smalleig.py) with a relative rank cutoff — which equals the
+    Cholesky solution at full rank and the minimal-norm solution when
+    singular (the ``icpSingular`` oracle).
 
-    Why not the cyclic-Jacobi pseudo-inverse of rounds 2-3: its 75
-    SEQUENTIAL plane rotations are pure latency inside the fused loop —
-    measured 1.66 ms per serving batch-iteration on chip, ~35% of the
-    whole minimizer (tools/minimizer_micro.py); the unrolled Cholesky's
-    dependency depth is ~3x shorter with far lighter steps.
-    ``PMTPU_SOLVE=jacobi`` restores the old path for A/B."""
+    ``PMTPU_SOLVE=chol`` switches to a ridged unrolled Cholesky — a
+    round-4 experiment with ~3x shorter sequential depth that did NOT
+    survive scrutiny as a default: although the normal equations are
+    consistent in exact arithmetic (b = Fᵀr ∈ range(FᵀF)), f32 rounding
+    leaves O(eps·‖A‖·‖x‖) right-hand components along exactly-singular
+    directions, and the ridge AMPLIFIES them by 1/λ (measured ~0.9
+    relative error on the singular contract test) where the rank cutoff
+    zeroes them; its standalone chip timing was also no faster than the
+    Jacobi it meant to replace (tools/minimizer_micro.py)."""
     import os
 
     p = A.shape[0]
-    if os.environ.get("PMTPU_SOLVE", "") == "jacobi":
+    if os.environ.get("PMTPU_SOLVE", "") != "chol":
         from .utils.smalleig import eigh_jacobi
 
         w, V = eigh_jacobi(A)
