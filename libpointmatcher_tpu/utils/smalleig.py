@@ -64,7 +64,7 @@ def _jacobi_rotation(A, V, i, j):
     return A, V
 
 
-def eigh_jacobi(A, sweeps: int = 5):
+def eigh_jacobi(A, sweeps: int = 4):
     """Eigendecomposition of a small symmetric matrix (batched over leading
     dims): returns ``(w [..., p], V [..., p, p])`` with A ≈ V·diag(w)·Vᵀ.
     Eigenvalues are UNSORTED (use :func:`eigh3_sorted` for the ascending
