@@ -141,9 +141,18 @@ def main():
     throughput = batch / batch_time
 
     # ---- HEADLINE: scan-to-map serving throughput (the ICPSequence
-    # production shape; map prepped once — reference: ICP.cpp:463-508 —
-    # readings stream through the vmapped fused loop in batches)
-    from libpointmatcher_tpu.parallel import register_batch_to_map
+    # production shape; map prepped once — reference: ICP.cpp:463-508).
+    # Round 5: the production path is CONTINUOUS BATCHING
+    # (parallel/stream.py): the whole scan queue is device-resident, one
+    # program steps L lanes and swaps in the next queued scan the moment a
+    # lane's checkers stop — no lockstep convergence waste (the vmapped
+    # batch runs every lane to its slowest scan), no per-batch dispatch
+    # syncs (this also supersedes the round-4 "pipelined" block=False
+    # scenario, whose measurement was a single non-median sample).
+    from libpointmatcher_tpu.parallel import (
+        register_batch_to_map,
+        register_queue_to_map,
+    )
 
     seq = pm.ICPSequence()
     seq.set_default()
@@ -168,19 +177,65 @@ def main():
                     map_batch / min(serve_samples))
     serve_iters /= mruns
 
-    # pipelined serving: batches dispatched back-to-back (block=False),
-    # readback overlaps device compute — the production streaming shape.
-    # jax dispatch is async; the blocking loop above pays dispatch +
-    # transfer latency per batch that the stream hides.
-    t0 = time.perf_counter()
-    pending = [
-        register_batch_to_map(seq, scans, seed=100 + i, block=False)
-        for i in range(mruns)
-    ]
-    for p in pending:
-        T_plain, minfo = p.result()
-    pipe_time = (time.perf_counter() - t0) / mruns
-    pipe_throughput = map_batch / pipe_time
+    # continuous-batching queue: Q scans through L lanes, one program
+    Q = int(os.environ.get("PMTPU_BENCH_QUEUE", "40"))
+    lanes = int(os.environ.get("PMTPU_BENCH_LANES", "16"))
+    scans_q = [reading] * Q
+    register_queue_to_map(seq, scans_q, seed=0, lanes=lanes)  # warm
+    queue_samples = []
+    queue_iters = 0.0
+    for i in range(mruns):
+        t0 = time.perf_counter()
+        T_q, qinfo = register_queue_to_map(
+            seq, scans_q, seed=i + 1, lanes=lanes
+        )
+        queue_samples.append(time.perf_counter() - t0)
+        queue_iters += float(np.mean(qinfo["iterations"]))
+    queue_time = float(np.median(queue_samples))
+    queue_throughput = Q / queue_time
+    queue_iters /= mruns
+
+    # coarse-to-fine queue (FixStepSampling's graduated-resolution
+    # schedule as queue phases, reference: ICP.cpp:373-379 +
+    # DataPointsFilters/FixStepSampling.cpp): headline-eligible only when
+    # pose parity with the plain queue holds at golden-criterion scale
+    c2f_env = os.environ.get("PMTPU_BENCH_C2F", "4,12,2.0")
+    c2f_throughput, c2f_iters, c2f_parity = 0.0, float("nan"), float("nan")
+    try:
+        if c2f_env in ("", "0", "off"):
+            raise RuntimeError("c2f disabled")
+        coarse = tuple(
+            float(x) if i == 2 else int(x)
+            for i, x in enumerate(c2f_env.split(","))
+        )
+        register_queue_to_map(seq, scans_q, seed=0, lanes=lanes,
+                              coarse=coarse)  # warm
+        c2f_samples = []
+        c2f_iters = 0.0
+        for i in range(mruns):
+            t0 = time.perf_counter()
+            T_c, cinfo = register_queue_to_map(
+                seq, scans_q, seed=i + 1, lanes=lanes, coarse=coarse
+            )
+            c2f_samples.append(time.perf_counter() - t0)
+            c2f_iters += float(np.mean(cinfo["iterations"]))
+        c2f_throughput = Q / float(np.median(c2f_samples))
+        c2f_iters /= mruns
+        # pose parity vs the plain queue at the same seed
+        r_pts_c, _, _ = reading.to_numpy()
+        diffs = []
+        for i in range(0, Q, max(Q // 8, 1)):
+            a = r_pts_c @ T_q[i][:3, :3].T + T_q[i][:3, 3]
+            b = r_pts_c @ T_c[i][:3, :3].T + T_c[i][:3, 3]
+            diffs.append(float(np.median(np.linalg.norm(a - b, axis=1))))
+        c2f_parity = float(np.median(diffs))
+        scale = float(np.linalg.norm(
+            r_pts_c.max(axis=0) - r_pts_c.min(axis=0)
+        ))
+        if max(diffs) > 0.01 * scale:  # outside golden-criterion scale
+            c2f_throughput = 0.0
+    except Exception:
+        pass
 
     # ---- AA-ICP serving (the framework's accelerated production config:
     # Anderson acceleration of the ICP fixed point, \cite{Pavlov2017AAICP},
@@ -272,18 +327,20 @@ def main():
                      max(int(mean_iters), 1), seed=7)
     cpu_single = time.perf_counter() - t0
 
-    # Headline: the faster serving config (plain vs AA-ICP — measured, AA's
-    # per-iteration overhead can exceed its iteration savings at this
-    # shape). vs_baseline keeps the round-2 audited budget-matched contract
-    # (identical per-iteration work at the same iteration count, compiled
-    # C++); the convergence-stopped framing (each side at its OWN
-    # Differential stop) is reported alongside.
-    # headline: pipelined streaming throughput of the better config (the
-    # production serving shape; the CPU baseline is a single thread whose
-    # sequential loop has no equivalent latency to hide)
-    best_blocking = max(serve_throughput, aa_throughput)
-    best_label = "AA" if aa_throughput > serve_throughput else "plain"
-    best_throughput = max(best_blocking, pipe_throughput)
+    # Headline: the fastest serving config — plain queue (continuous
+    # batching), coarse-to-fine queue (parity-guarded), AA-ICP batch, or
+    # the plain blocking batch. vs_baseline keeps the round-2 audited
+    # budget-matched contract (identical per-iteration work at the same
+    # iteration count, compiled C++); the convergence-stopped framing
+    # (each side at its OWN Differential stop) is reported alongside.
+    candidates = {
+        "QUEUE": queue_throughput,
+        "QUEUE-C2F": c2f_throughput,
+        "AA": aa_throughput,
+        "plain-batch": serve_throughput,
+    }
+    best_label = max(candidates, key=candidates.get)
+    best_throughput = candidates[best_label]
     vs_baseline = cpu_time * best_throughput
     vs_conv = cpu_conv_time * best_throughput
 
@@ -322,12 +379,16 @@ def main():
             {
                 "metric": f"scan-to-map registrations/s/chip ({backend}, "
                 f"car_cloud 25k pts, default point-to-plane chain, "
-                f"batch {map_batch}, headline = {best_label} serving "
-                f"~{serve_iters:.0f} iters PIPELINED "
-                f"({pipe_throughput:.2f}/s streamed vs "
-                f"{serve_throughput:.2f}/s blocking median of {mruns}, "
-                f"spread [{serve_spread[0]:.2f}, {serve_spread[1]:.2f}]/s)"
-                f"{regress_note}; CPU baseline amortized "
+                f"headline = {best_label} serving: CONTINUOUS-BATCHING "
+                f"queue Q={Q} lanes={lanes} {queue_throughput:.2f}/s "
+                f"~{queue_iters:.0f} iters (median of {mruns}); "
+                f"coarse-to-fine queue ({c2f_env}) {c2f_throughput:.2f}/s "
+                f"~{c2f_iters:.0f} fine iters, pose parity "
+                f"{c2f_parity * 1e3:.1f} mm median; lockstep batch "
+                f"{map_batch} blocking {serve_throughput:.2f}/s "
+                f"~{serve_iters:.0f} iters, spread [{serve_spread[0]:.2f}, "
+                f"{serve_spread[1]:.2f}]/s{regress_note}; "
+                f"CPU baseline amortized "
                 f"identically, COMPILED C++ kd-tree+p2plane: "
                 f"{cpu_time * 1e3:.0f} ms/reg at the same iteration budget; "
                 f"convergence-stopped framing: CPU at its own Differential "

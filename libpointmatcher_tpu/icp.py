@@ -546,12 +546,16 @@ class ICP(ICPChainBase):
         return jnp.asarray(T_refIn_refMean) @ T_iter @ T_refMean_dataIn
 
     # ------------------------------------------------------------ the step
-    def _make_step(self, reading: PointCloud, reference: PointCloud):
-        """Build the traced per-iteration function shared by both drivers."""
+    def _make_step(self, reading: PointCloud, reference: PointCloud,
+                   checkers=None):
+        """Build the traced per-iteration function shared by both drivers.
+        ``checkers`` overrides the chain's own checker set (the queue
+        driver's coarse phase runs the same step under a tightened
+        iteration budget / loosened differential stop)."""
         matcher = self.matcher
         outliers = tuple(self.outlier_filters)
         minimizer = self.error_minimizer
-        checkers = tuple(self.checkers)
+        checkers = tuple(self.checkers if checkers is None else checkers)
         transformations = tuple(self.transformations)
 
         stateful = hasattr(type(matcher), "find_closests_in_stateful")
@@ -792,7 +796,13 @@ class ICP(ICPChainBase):
                 R = M[:, :dim]
                 eye_d = jnp.eye(dim, dtype=R.dtype)
                 drift = jnp.linalg.norm(R.T @ R - eye_d)
-                for _ in range(2):  # Newton–Schulz polar projection
+                # Newton–Schulz polar projection: 3 iterations leave the
+                # worst-case orthogonality error at f32 noise even from the
+                # drift<0.3 guard boundary (two left ~4e-3 — an
+                # early-terminating checker right after a large-drift
+                # accepted extrapolation would have returned a slightly
+                # non-rigid transform; advisor round-4)
+                for _ in range(3):
                     R = 0.5 * R @ (3.0 * eye_d - R.T @ R)
                 T_acc = (
                     jnp.eye(dim + 1, dtype=T_plain.dtype)
@@ -1160,6 +1170,46 @@ class ICPSequence(ICP):
         self._map = None
         self._T_refIn_refMean = None
         self._jit_cache = {}
+
+    def warmup(self, num_points: int, batch: int = 8, lanes=None,
+               queue_len=None, coarse=None, seed: int = 0) -> float:
+        """Precompile the serving program(s) for scans of ``num_points``
+        raw rows, so the first real scan batch never eats the multi-minute
+        relay first-compile stall mid-stream (LARGE_r04 measured a cold
+        ``set_map``+serve chain at up to 135 s; warm 1-3 s — the
+        persistent cache keys on shapes, which this call exercises with
+        synthetic scans drawn inside the map's bounding box). Warms the
+        batched path at ``batch``; with ``queue_len``/``lanes`` also the
+        continuous-batching queue driver (and its coarse-to-fine phases
+        when ``coarse`` is given). Returns the wall seconds spent.
+
+        The reference has no analogue (C++ has no compile step); this is
+        the TPU-native counterpart of ICPSequence::setMap's index build
+        (reference: ICP.cpp:463-508) extended to the compiled programs."""
+        assert self.has_map(), "set_map first"
+        t0 = time.perf_counter()
+        import numpy as _np
+
+        m = self.get_prefiltered_internal_map()
+        pts, mask = jax.device_get((m.points, m.mask))
+        pts = _np.asarray(pts)[_np.asarray(mask, bool)]
+        lo, hi = pts.min(axis=0), pts.max(axis=0)
+        rng = _np.random.default_rng(seed)
+        fake = rng.uniform(lo, hi, size=(int(num_points), m.dim)).astype(
+            _np.float32
+        )
+        scan = PointCloud(jnp.asarray(fake))
+        from .parallel.batch import register_batch_to_map
+
+        register_batch_to_map(self, [scan] * int(batch), seed=seed)
+        if queue_len:
+            from .parallel.stream import register_queue_to_map
+
+            register_queue_to_map(
+                self, [scan] * int(queue_len), seed=seed,
+                lanes=int(lanes or batch), coarse=coarse,
+            )
+        return time.perf_counter() - t0
 
     def get_prefiltered_internal_map(self) -> PointCloud:
         if self._map is None:

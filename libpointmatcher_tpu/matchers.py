@@ -752,24 +752,53 @@ class KDTreeVarDistMatcher(Matcher):
     def __init__(self, params=None):
         super().__init__(params)
         self._ref_host = None
+        self._vd_grid = None
+        self._vd_rmax = None
+        self._vd_ref_shape = None
         self.cache_token = None
 
     def init(self, reference: PointCloud) -> None:
         super().init(reference)
+        import numpy as np
         import jax
 
         if reference.num_points >= self.CULL_MIN_MAP:
             pts, mask = jax.device_get(
                 (reference.points, reference.mask))
-            self._ref_host = (pts, mask)
+            # same reference content re-inited (one-shot ICP calls init per
+            # compute): keep the cached grid — a fresh one would bump
+            # cache_token and recompile the fused loop for nothing
+            if (self._ref_host is not None
+                    and self._ref_host[0].shape == pts.shape
+                    and np.array_equal(self._ref_host[0], pts)
+                    and np.array_equal(self._ref_host[1], mask)):
+                self._ref_shape_full = tuple(reference.points.shape)
+                return
+            self._ref_host = (np.asarray(pts), np.asarray(mask))
         else:
             self._ref_host = None
+        self._ref_shape_full = tuple(reference.points.shape)
+        self._vd_grid = None
+        self._vd_rmax = None
+        self._vd_ref_shape = None
 
     def prepare_loop(self, reading: PointCloud):
         """Host, once per registration: cell grid over the reference at
-        the reading's max search radius (None → dense sweep)."""
+        the reading's max search radius, CLOSED OVER the matcher (the grid
+        is a host structure of static arrays — it must never travel
+        through the engine's traced aux pytree, whose entries are jit
+        arguments; closing over, with a ``cache_token`` bump on change,
+        is the same contract :class:`CellGridMatcher` uses). The build is
+        cached per (reference, quantized rmax): rmax is rounded up on a
+        1.25-geometric ladder, so scans with similar radii reuse one grid
+        (and one compiled loop) instead of recompiling per registration.
+        Returns None always — the culled search keys off matcher state
+        inside :meth:`find_closests_in`."""
         if self._ref_host is None:
+            self._vd_grid = None
             return None
+        import math
+
         import numpy as np
         import jax
 
@@ -778,29 +807,46 @@ class KDTreeVarDistMatcher(Matcher):
                 reading.get_descriptor(self.maxDistField)[:, 0])
             mask = jax.device_get(reading.mask)
         except Exception:
+            self._vd_grid = None
             return None
         rmax = float(np.max(np.where(np.asarray(mask), radius, 0.0),
                             initial=0.0))
         if not np.isfinite(rmax) or rmax <= 0.0:
+            self._vd_grid = None
             return None
+        # quantize UP on a 1.25 ladder: any cell edge >= the true max
+        # radius keeps the 3^d-neighborhood search exact (each point's own
+        # tighter radius is the post-mask), and a stable edge keeps the
+        # jit-cache key stable across scans
+        rq = 1.25 ** math.ceil(math.log(rmax, 1.25) - 1e-9)
+        if self._vd_grid is not None and self._vd_rmax == rq:
+            return None  # cached grid still valid; token unchanged
         from .ops.cellgrid import build_cell_grid
 
-        grid = build_cell_grid(self._ref_host[0], self._ref_host[1], rmax)
+        self._vd_grid = build_cell_grid(
+            self._ref_host[0], self._ref_host[1], rq
+        )
+        self._vd_rmax = rq
+        self._vd_ref_shape = self._ref_shape_full
         KDTreeVarDistMatcher._vd_counter = (
             getattr(KDTreeVarDistMatcher, "_vd_counter", 0) + 1
         )
         self.cache_token = KDTreeVarDistMatcher._vd_counter
-        return {"grid": grid, "rmax": rmax}
+        return None
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:
         radius = reading.get_descriptor(self.maxDistField)[:, 0]
-        if aux is not None and aux.get("grid") is not None:
+        if (self._vd_grid is not None
+                and tuple(ref.points.shape) == self._vd_ref_shape):
+            # engine contract check by shape, like CellGridMatcher: inside
+            # the jitted loop ``ref`` is a tracer — the grid's row indices
+            # address rows of the reference it was built for
             from .ops.cellgrid import cell_knn
 
             dists, ids = cell_knn(
-                reading.points, reading.mask, ref.points, aux["grid"],
-                float(aux["rmax"]), k=self.knn,
+                reading.points, reading.mask, ref.points, self._vd_grid,
+                float(self._vd_rmax), k=self.knn,
             )
         else:
             dists, ids = knn_search(

@@ -7,3 +7,4 @@ from .sharding import (  # noqa: F401
     sharded_tile_nn1,
 )
 from .batch import register_batch, register_batch_to_map  # noqa: F401
+from .stream import register_queue_to_map, queue_eligible  # noqa: F401

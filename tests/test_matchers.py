@@ -56,10 +56,11 @@ def test_var_dist_matcher():
 
 
 def test_var_dist_culled_path_exact(monkeypatch):
-    """The cell-grid culled route (prepare_loop at the global max radius,
-    per-point radii as the exact post-mask) must reproduce the dense
-    sweep bit for bit (reference: MatchersImpl.cpp:132-150 — kd-tree
-    efficiency with per-point radii)."""
+    """The cell-grid culled route (prepare_loop builds a grid at the
+    quantized global max radius, closed over the matcher; per-point radii
+    are the exact post-mask) must reproduce the dense sweep bit for bit
+    (reference: MatchersImpl.cpp:132-150 — kd-tree efficiency with
+    per-point radii)."""
     from libpointmatcher_tpu.matchers import KDTreeVarDistMatcher
 
     a, b = clouds(n=500, m=700, seed=21)
@@ -71,9 +72,15 @@ def test_var_dist_culled_path_exact(monkeypatch):
     monkeypatch.setattr(KDTreeVarDistMatcher, "CULL_MIN_MAP", 10)
     mtch.init(b)
     aux = mtch.prepare_loop(a)
-    assert aux is not None and aux["grid"] is not None
-    m_cull = mtch.find_closests_in(a, b, aux=aux)
-    m_dense = mtch.find_closests_in(a, b)
+    assert aux is None  # the grid is matcher state, never traced aux
+    assert mtch._vd_grid is not None
+    token = mtch.cache_token
+    m_cull = mtch.find_closests_in(a, b)
+    # dense oracle: fresh matcher without the grid
+    dense = Reg.create("KDTreeVarDistMatcher",
+                       {"knn": "2", "maxDistField": "myRadius"})
+    dense.init(b)
+    m_dense = dense.find_closests_in(a, b)
     d_c, d_d = np.asarray(m_cull.dists), np.asarray(m_dense.dists)
     i_c, i_d = np.asarray(m_cull.ids), np.asarray(m_dense.ids)
     np.testing.assert_allclose(
@@ -81,6 +88,46 @@ def test_var_dist_culled_path_exact(monkeypatch):
         np.where(np.isfinite(d_d), d_d, 0.0), rtol=1e-6, atol=1e-7)
     assert np.array_equal(np.isfinite(d_c), np.isfinite(d_d))
     assert np.array_equal(i_c, i_d)
+    # repeat prep with the same radii reuses the cached grid — no token
+    # bump, so the engine's compiled loop is reused (advisor round-4 low)
+    mtch.prepare_loop(a)
+    assert mtch.cache_token == token
+
+
+def test_var_dist_culled_path_through_engine(monkeypatch):
+    """ICP.compute() with the culled VarDist route engaged end to end
+    (advisor round-4 high: the aux-pytree form crashed _run_fused on any
+    reference >= CULL_MIN_MAP; the engine route must be exercised)."""
+    from libpointmatcher_tpu.matchers import KDTreeVarDistMatcher
+
+    monkeypatch.setattr(KDTreeVarDistMatcher, "CULL_MIN_MAP", 10)
+    rng = np.random.default_rng(5)
+    ref_pts = rng.uniform(-2, 2, size=(900, 3)).astype(np.float32)
+    shift = np.array([0.12, -0.08, 0.05], np.float32)
+    read_pts = ref_pts[::2] + shift
+    a = pm.PointCloud.from_numpy(read_pts)
+    a = a.with_descriptor(
+        "maxSearchDist", np.full(a.num_points, 1.0, np.float32))
+    b = pm.PointCloud.from_numpy(ref_pts)
+
+    icp = pm.ICP()
+    icp.set_default()
+    icp.reading_filters = []
+    icp.reference_filters = []  # no normals → point-to-point minimizer
+    icp.error_minimizer = pm.ErrorMinimizerRegistrar.create(
+        "PointToPointErrorMinimizer")
+    icp.matcher = Reg.create("KDTreeVarDistMatcher", {"knn": "1"})
+    T = np.asarray(icp(a, b, seed=0))
+    assert icp.matcher._vd_grid is not None  # culled route actually ran
+    np.testing.assert_allclose(T[:3, 3], -shift, atol=5e-3)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
+    # second registration with the same radii: cached grid, stable token,
+    # and the engine jit cache is NOT grown by a recompile
+    n_cache = len(icp._jit_cache)
+    token = icp.matcher.cache_token
+    icp(a, b, seed=1)
+    assert icp.matcher.cache_token == token
+    assert len(icp._jit_cache) == n_cache
 
 
 def test_no_inliers_raises_through_engine():

