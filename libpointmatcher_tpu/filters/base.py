@@ -49,9 +49,23 @@ class DataPointsFilter(Parametrizable):
     #: the protocol trivially (aux=None, tail = filter).
     HOST_PREP = False
 
+    #: True iff the filter's per-ICP-iteration behavior is a PURE traced
+    #: function of (cloud, iteration) via :meth:`mask_at_iteration` — a
+    #: deterministic schedule with no host state. Step-filter chains where
+    #: every member sets this run INSIDE the fused ``lax.while_loop``
+    #: (reference applies readingStepDataPointsFilters per iteration at
+    #: ICP.cpp:373-379; the hostful stepped driver remains for the rest).
+    SCHEDULE_TRACEABLE = False
+
     def init(self) -> None:
         """Reset per-registration state (reference: DataPointsFilter::init;
         only schedule-carrying filters like FixStepSampling use it)."""
+
+    def mask_at_iteration(self, cloud: PointCloud, iteration) -> PointCloud:
+        """Traced per-iteration form (see SCHEDULE_TRACEABLE): the cloud
+        this filter would pass to iteration ``iteration`` (a traced int32),
+        expressed as a mask shrink — shapes must stay static."""
+        raise NotImplementedError
 
     def filter(self, cloud: PointCloud, key: Optional[jax.Array] = None) -> PointCloud:
         raise NotImplementedError

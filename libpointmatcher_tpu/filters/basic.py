@@ -268,6 +268,26 @@ class FixStepSamplingDataPointsFilter(DataPointsFilter):
             self.step = float(self.endStep)
         return cloud.with_mask(keep)
 
+    # the schedule is deterministic-geometric: step_i =
+    # clamp(startStep * stepMult^i, endStep) — a pure function of the
+    # iteration counter, so the fused while_loop can evaluate it in-trace
+    # (reference applies step filters per iteration at ICP.cpp:373-379)
+    SCHEDULE_TRACEABLE = True
+
+    def mask_at_iteration(self, cloud, iteration):
+        s = self.startStep * jnp.power(
+            jnp.float32(self.stepMult), iteration.astype(jnp.float32)
+        )
+        delta = self.startStep * self.stepMult - self.startStep
+        if delta < 0:
+            s = jnp.maximum(s, self.endStep)
+        elif delta > 0:
+            s = jnp.minimum(s, self.endStep)
+        istep = jnp.maximum(jnp.floor(s).astype(jnp.int32), 1)
+        idx = jnp.cumsum(cloud.mask) - 1
+        keep = (idx % istep) == 0
+        return cloud.with_mask(keep)  # with_mask ANDs with the live mask
+
 
 @_reg
 class ShadowDataPointsFilter(DataPointsFilter):

@@ -160,6 +160,16 @@ class ICPChainBase:
             self.acceleration_window,
         )
 
+    def _step_chain_traced(self) -> bool:
+        """True when every reading step filter exposes a traced
+        per-iteration schedule (SCHEDULE_TRACEABLE) — the fused
+        ``lax.while_loop`` then applies them in-trace instead of dropping
+        to the host-driven stepped driver."""
+        return all(
+            getattr(type(f), "SCHEDULE_TRACEABLE", False)
+            for f in self.reading_step_filters
+        )
+
     def _require_modules(self):
         if self.matcher is None:
             raise RuntimeError("You must setup a matcher before running ICP")
@@ -390,7 +400,7 @@ class ICP(ICPChainBase):
         T_refMean_dataIn = se3.inverse(jnp.asarray(T_refIn_refMean)) @ T_init
 
         fused = (
-            not self.reading_step_filters
+            self._step_chain_traced()
             and not self.inspector.needs_iteration_data
         )
         # One-program one-shot: when the reading chain is traceable and the
@@ -547,21 +557,34 @@ class ICP(ICPChainBase):
 
     # ------------------------------------------------------------ the step
     def _make_step(self, reading: PointCloud, reference: PointCloud,
-                   checkers=None):
+                   checkers=None, in_loop_step_filters=True):
         """Build the traced per-iteration function shared by both drivers.
         ``checkers`` overrides the chain's own checker set (the queue
         driver's coarse phase runs the same step under a tightened
-        iteration budget / loosened differential stop)."""
+        iteration budget / loosened differential stop).
+        ``in_loop_step_filters=False`` (the stepped driver) leaves step
+        filters to the host loop — applying them both places would
+        double-decimate."""
         matcher = self.matcher
         outliers = tuple(self.outlier_filters)
         minimizer = self.error_minimizer
         checkers = tuple(self.checkers if checkers is None else checkers)
         transformations = tuple(self.transformations)
+        # schedule-traceable step filters run INSIDE the traced step (the
+        # reference applies readingStepDataPointsFilters per iteration,
+        # ICP.cpp:373-379); chains with hostful step filters never build
+        # this step — they use the stepped driver (see _step_chain_traced)
+        step_filters = (
+            tuple(self.reading_step_filters)
+            if in_loop_step_filters and self._step_chain_traced() else ()
+        )
 
         stateful = hasattr(type(matcher), "find_closests_in_stateful")
 
         def step(reading, reference, T_iter, checker_states, outlier_states,
                  iteration, matcher_aux=None, matcher_state=None):
+            for f in step_filters:
+                reading = f.mask_at_iteration(reading, iteration)
             stepped = _apply_transform(transformations, reading, T_iter)
             if (matcher_aux is not None and matcher_state is not None
                     and stateful):
@@ -853,7 +876,7 @@ class ICP(ICPChainBase):
         host-side observability demands."""
         rf = self.reference_filters
         return (
-            not self.reading_step_filters
+            self._step_chain_traced()
             and not self.inspector.needs_iteration_data
             and not self.inspector.wants_stats
             and chain_is_traceable(self.reading_filters)
@@ -1092,7 +1115,8 @@ class ICP(ICPChainBase):
         T_iter, checker_states, outlier_states, stats = self._init_loop_state(dim)
         for f in self.reading_step_filters:
             f.init()
-        step = self._make_step(reading, reference)
+        step = self._make_step(reading, reference,
+                               in_loop_step_filters=False)
         jit_step = jax.jit(step)
         iterate = True
         iteration = 0

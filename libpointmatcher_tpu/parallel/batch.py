@@ -123,7 +123,7 @@ def register_batch(
         mesh is None
         and chain_is_traceable(icp.reading_filters)
         and chain_is_traceable(icp.reference_filters)
-        and not icp.reading_step_filters
+        and icp._step_chain_traced()
         and type(icp.matcher).prepare_loop is Matcher.prepare_loop
     )
     if fused:
@@ -447,7 +447,7 @@ def register_batch_to_map(
     has_aux = seq.matcher.serving_loop_aux(reference)
     fused = (
         chain_is_traceable(seq.reading_filters)
-        and not seq.reading_step_filters
+        and seq._step_chain_traced()
         and not seq.inspector.needs_iteration_data
         and (has_aux
              or type(seq.matcher).prepare_loop is Matcher.prepare_loop)
@@ -606,6 +606,53 @@ def _serve_compact_cap(seq, readings, rows, seed, compact_rows="auto"):
     return cap
 
 
+def _pad_tile_aux(pers):
+    """Align per-scan tile-assignment aux shapes (tile/candidate counts
+    differ per scan): pad tiles with -1 query rows (scatter-dropped) and
+    candidate slots with +inf penalty / -1 ids — exact by construction.
+    Parent (query) tiles and virtual (candidate) tiles pad independently.
+    Shared by the batched and queue serving drivers."""
+    from ..ops.tilesweep import _CID_ROW, _PEN_ROW
+
+    max_tp = max(int(p["q_rows"].shape[0]) for p in pers)
+    max_tv = max(int(p["cand_t"].shape[0]) for p in pers)
+    max_b = max(int(p["cand_t"].shape[2]) for p in pers)
+    max_k = max(int(p["vrows"].shape[0]) for p in pers)
+
+    def pad_per(p):
+        dtp = max_tp - p["q_rows"].shape[0]
+        dtv = max_tv - p["cand_t"].shape[0]
+        dm = max_b - p["cand_t"].shape[2]
+        dk = max_k - p["vrows"].shape[0]
+        m0 = p["cand_t"].shape[2]
+        # candidate-slot padding must carry +inf penalty / -1 id in the
+        # table's fused pen/cid rows (zero-padded slots would read as a
+        # real candidate at the origin)
+        cand_t = jnp.pad(p["cand_t"], ((0, dtv), (0, 0), (0, dm)))
+        if dm:
+            cand_t = cand_t.at[:, _PEN_ROW, m0:].set(jnp.inf)
+            cand_t = cand_t.at[:, _CID_ROW, m0:].set(-1.0)
+        return {
+            # padded parent tiles carry -1 query rows (scatter-dropped),
+            # so their vrows/parent pointers may alias any valid row
+            "q_rows": jnp.pad(p["q_rows"], ((0, dtp), (0, 0)),
+                              constant_values=-1),
+            "cand_t": cand_t,
+            "pen": jnp.pad(p["pen"], ((0, dtv), (0, 0), (0, dm)),
+                           constant_values=jnp.inf),
+            "cid": jnp.pad(p["cid"], ((0, dtv), (0, 0), (0, dm)),
+                           constant_values=-1),
+            "parent": jnp.pad(p["parent"], ((0, dtv),)),
+            # extra merge depth re-reads the last row (idempotent combine)
+            "vrows": jnp.pad(
+                jnp.pad(p["vrows"], ((0, dk), (0, 0)), mode="edge"),
+                ((0, 0), (0, dtp)),
+            ),
+        }
+
+    return [pad_per(p) for p in pers]
+
+
 def _host_rows(cloud: PointCloud):
     """Raw padded host rows (points, mask) of a cloud — row indices match
     the device layout (to_numpy() compacts, which would not)."""
@@ -758,56 +805,16 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
             return PendingRegistration(finish)
         return finish()
 
-    # align per-scan aux shapes (tile/candidate counts differ per scan):
-    # pad tiles with -1 query rows (scatter-dropped) and candidate slots
-    # with +inf penalty / -1 ids — exact by construction
-    # parent (query) tiles and virtual (candidate) tiles pad independently
-    max_tp = max(int(p["q_rows"].shape[0]) for p in pers)
-    max_tv = max(int(p["cand_t"].shape[0]) for p in pers)
-    max_b = max(int(p["cand_t"].shape[2]) for p in pers)
-    max_k = max(int(p["vrows"].shape[0]) for p in pers)
-
-    def pad_per(p):
-        from ..ops.tilesweep import _CID_ROW, _PEN_ROW
-
-        dtp = max_tp - p["q_rows"].shape[0]
-        dtv = max_tv - p["cand_t"].shape[0]
-        dm = max_b - p["cand_t"].shape[2]
-        dk = max_k - p["vrows"].shape[0]
-        m0 = p["cand_t"].shape[2]
-        # candidate-slot padding must carry +inf penalty / -1 id in the
-        # table's fused pen/cid rows (zero-padded slots would read as a
-        # real candidate at the origin)
-        cand_t = jnp.pad(p["cand_t"], ((0, dtv), (0, 0), (0, dm)))
-        if dm:
-            cand_t = cand_t.at[:, _PEN_ROW, m0:].set(jnp.inf)
-            cand_t = cand_t.at[:, _CID_ROW, m0:].set(-1.0)
-        return {
-            # padded parent tiles carry -1 query rows (scatter-dropped),
-            # so their vrows/parent pointers may alias any valid row
-            "q_rows": jnp.pad(p["q_rows"], ((0, dtp), (0, 0)),
-                              constant_values=-1),
-            "cand_t": cand_t,
-            "pen": jnp.pad(p["pen"], ((0, dtv), (0, 0), (0, dm)),
-                           constant_values=jnp.inf),
-            "cid": jnp.pad(p["cid"], ((0, dtv), (0, 0), (0, dm)),
-                           constant_values=-1),
-            "parent": jnp.pad(p["parent"], ((0, dtv),)),
-            # extra merge depth re-reads the last row (idempotent combine)
-            "vrows": jnp.pad(
-                jnp.pad(p["vrows"], ((0, dk), (0, 0)), mode="edge"),
-                ((0, 0), (0, dtp)),
-            ),
-        }
-
-    pers = [pad_per(p) for p in pers]
+    pers = _pad_tile_aux(pers)
     per_aux = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs, axis=0), *pers
     )
 
     cache_key = (
         "serve_aux", b, rows, reference.num_points, dim,
-        max_tp, max_tv, max_b, max_k,
+        tuple(sorted(
+            (k, tuple(v.shape)) for k, v in pers[0].items()
+        )),
         batch_reading.descriptor_labels(),
         reference.descriptor_labels(),
         seq._config_fingerprint(),

@@ -71,23 +71,33 @@ def _bmask(flag, ndim):
     return flag.reshape(flag.shape + (1,) * (ndim - 1))
 
 
+def _queue_mode(seq) -> str:
+    """Serving mode for the queue driver: 'dense' (no matcher loop
+    state), 'skip' (KDTreeMatcher survivor sweep: shared tables +
+    in-program Morton order + loop-carried bounds), 'tile'
+    (BlockGridMatcher: per-scan host tile assignment, pooled and swapped
+    with the lanes), or '' (ineligible → batch fallback)."""
+    if seq.acceleration is not None:
+        return ""
+    if not seq._step_chain_traced() or seq.inspector.needs_iteration_data:
+        return ""
+    if not chain_is_traceable(seq.reading_filters):
+        return ""
+    m = seq.matcher
+    if (getattr(type(m), "SERVING_DEVICE_ORDER", False)
+            and getattr(m, "_skip_shared", None) is not None):
+        return "skip"
+    if type(m).prepare_loop is Matcher.prepare_loop:
+        return "dense"
+    if (type(m).__name__ == "BlockGridMatcher"
+            and getattr(m, "_blocks", None) is not None):
+        return "tile"
+    return ""
+
+
 def queue_eligible(seq) -> bool:
     """True when the chain can serve through the queue driver."""
-    if seq.acceleration is not None:
-        return False
-    if seq.reading_step_filters or seq.inspector.needs_iteration_data:
-        return False
-    if not chain_is_traceable(seq.reading_filters):
-        return False
-    m = seq.matcher
-    # dense path: no loop aux at all
-    plain = type(m).prepare_loop is Matcher.prepare_loop
-    # skip path: KDTreeMatcher survivor sweep with in-program Morton order
-    skip = (
-        getattr(type(m), "SERVING_DEVICE_ORDER", False)
-        and getattr(m, "_skip_shared", None) is not None
-    )
-    return plain or skip
+    return bool(_queue_mode(seq))
 
 
 def register_queue_to_map(
@@ -117,18 +127,20 @@ def register_queue_to_map(
     # matcher serving state must be (re)built against the current map
     # before eligibility is judged (mirrors register_batch_to_map)
     reference = seq.get_prefiltered_internal_map()
-    has_aux = seq.matcher.serving_loop_aux(reference)
-    if not queue_eligible(seq) or Q < lanes or Q == 0:
+    seq.matcher.serving_loop_aux(reference)
+    mode = _queue_mode(seq)
+    if not mode or Q < lanes or Q == 0:
         out = register_batch_to_map(
             seq, readings, T_inits, seed, compact_rows=compact_rows,
             block=block,
         )
         return out
     ref_loop = seq.matcher.serving_reference(reference)
-    permutes = has_aux and getattr(
-        type(seq.matcher), "SERVING_PERMUTES_READING", False
+    permutes = mode == "skip"
+    tile = mode == "tile"
+    shared_aux = (
+        dict(seq.matcher._skip_shared) if mode == "skip" else {}
     )
-    shared_aux = dict(seq.matcher._skip_shared) if has_aux else None
 
     dim = readings[0].dim
     Trm = jnp.asarray(seq._T_refIn_refMean)
@@ -138,9 +150,15 @@ def register_queue_to_map(
 
     pool_in = _stack_clouds_padded(readings)
     rows = pool_in.points.shape[-2]
-    cap = _serve_compact_cap(seq, readings, rows, seed, compact_rows)
+    # the tile assignment indexes RAW padded reading rows — no compaction
+    cap = (
+        None if tile
+        else _serve_compact_cap(seq, readings, rows, seed, compact_rows)
+    )
 
     coarse_key = None
+    if coarse is not None and tile:
+        coarse = None  # decimation-compaction would invalidate q_rows
     if coarse is not None:
         decim, c_iters = int(coarse[0]), int(coarse[1])
         tol_mult = float(coarse[2]) if len(coarse) > 2 else 2.0
@@ -152,9 +170,19 @@ def register_queue_to_map(
             cap_c = max(512, 512 * (-(-n_c // 512)))
             coarse_key = (decim, c_iters, cap_c, tol_mult)
 
+    # tile mode: per-scan host tile assignments, padded to common shapes
+    # and pooled (the batch path's prep, extended to the whole queue)
+    pool_aux = {}
+    aux_shapes = None
+    if tile:
+        pool_aux = _tile_aux_pool(seq, readings, T_inits, Trm, rows, dim)
+        aux_shapes = tuple(sorted(
+            (k, tuple(v.shape[1:])) for k, v in pool_aux.items()
+        ))
+
     cache_key = (
         "serve_queue", Q, lanes, rows, reference.num_points, cap, dim,
-        permutes, coarse_key,
+        mode, coarse_key, aux_shapes,
         pool_in.descriptor_labels(),
         reference.descriptor_labels(),
         seq._config_fingerprint(),
@@ -166,12 +194,11 @@ def register_queue_to_map(
     runners = seq._jit_cache.get(cache_key)
     if runners is None:
         runners = _build_queue_runners(
-            seq, Q, lanes, cap, permutes, coarse_key
+            seq, Q, lanes, cap, permutes, coarse_key, tile
         )
         seq._jit_cache[cache_key] = runners
     prep_fn, queue_fn, queue_coarse_fn = runners
 
-    aux_arg = shared_aux if shared_aux is not None else {}
     pool, pool_coarse, T_rmd_b, overflow = prep_fn(
         pool_in, T_inits_b, Trm, jnp.int32(seed)
     )
@@ -179,20 +206,20 @@ def register_queue_to_map(
         jnp.eye(dim + 1, dtype=jnp.float32), (Q, dim + 1, dim + 1)
     )
     if coarse is not None:
-        T0_pool, _, _, _ = queue_coarse_fn(
-            pool_coarse, T0_pool, ref_loop, aux_arg
+        T0_pool, _, _, _, _ = queue_coarse_fn(
+            pool_coarse, pool_aux, T0_pool, ref_loop, shared_aux
         )
-    out_T_loop, out_iters, out_code, out_stats = queue_fn(
-        pool, T0_pool, ref_loop, aux_arg
+    out_T_loop, out_iters, out_code, out_stats, out_motion = queue_fn(
+        pool, pool_aux, T0_pool, ref_loop, shared_aux
     )
     # frame composition on device, one readback
     T_out = jnp.einsum("ij,qjk,qkl->qil", Trm, out_T_loop, T_rmd_b)
 
     def finish():
-        T, it, cd, pur, wpur, res, ovf = jax.device_get(
+        T, it, cd, pur, wpur, res, ovf, mot = jax.device_get(
             (T_out, out_iters, out_code,
              out_stats.point_used_ratio, out_stats.weighted_point_used_ratio,
-             out_stats.residual, overflow)
+             out_stats.residual, overflow, out_motion)
         )
         info = {
             "iterations": np.asarray(it),
@@ -202,11 +229,54 @@ def register_queue_to_map(
             "residual": np.asarray(res),
             "compact_overflow": np.asarray(ovf),
         }
+        # motionBound invariant guard per scan (the batch path's audit;
+        # bounded-search exactness contract, MatchersImpl.cpp:86-101)
+        bound = getattr(seq.matcher, "motionBound", None)
+        if tile and bound is not None and mot is not None:
+            exceeded = np.asarray(mot) > float(bound)
+            info["motion_bound_exceeded"] = exceeded
+            if exceeded.any():
+                from ..loggers import log_warning
+
+                log_warning(
+                    f"register_queue_to_map: {int(exceeded.sum())}/{Q} "
+                    f"scans exceeded motionBound {float(bound):.3f} — "
+                    f"matches beyond the pre-assigned cell neighborhoods "
+                    f"may have been missed"
+                )
         return np.asarray(T), info
 
     if not block:
         return PendingRegistration(finish)
     return finish()
+
+
+def _tile_aux_pool(seq, readings, T_inits, Trm, rows, dim):
+    """Per-scan tile assignments for the whole queue: host numpy over
+    read-only matcher state (thread pool — numpy releases the GIL),
+    padded to common shapes and stacked into [Q, ...] pools the queue
+    program gathers lanes from."""
+    from .batch import _host_rows, _pad_tile_aux
+
+    Trm_h = np.asarray(jax.device_get(Trm), np.float64)
+    Trm_inv_h = np.linalg.inv(Trm_h)
+
+    def prep_one(i_rd):
+        i, rd = i_rd
+        pts, mask = _host_rows(rd)
+        T_rmd = Trm_inv_h @ np.asarray(T_inits[i], np.float64)
+        moved = pts @ T_rmd[:dim, :dim].T + T_rmd[:dim, dim]
+        per, _shared = seq.matcher.prepare_loop_host(moved, mask)
+        return per
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        pers = list(ex.map(prep_one, enumerate(readings)))
+    pers = _pad_tile_aux(pers)
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *pers
+    )
 
 
 def _decimate_mask(cloud: PointCloud, decim: int) -> PointCloud:
@@ -218,7 +288,8 @@ def _decimate_mask(cloud: PointCloud, decim: int) -> PointCloud:
     return cloud.with_mask(keep)
 
 
-def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
+def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
+                         tile=False):
     """Compile the prep program and the queue program(s)."""
     from ..icp import _apply_transform
 
@@ -271,16 +342,50 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
         stateful = permutes and hasattr(
             type(matcher), "find_closests_in_stateful"
         )
+        track_motion = tile and getattr(matcher, "motionBound", None) \
+            is not None
 
-        def queue_run(pool, T0_pool, reference, shared_aux):
+        def motion_of(reading, T_new, dim):
+            """Per-lane displacement bound vs the pose the tile assignment
+            was built at (the engine's _motion_tracker math: centroid-
+            referenced, 2·sin(θ/2)·r + drift)."""
+            cnt = jnp.maximum(reading.count(), 1)
+            c = jnp.sum(
+                jnp.where(reading.mask[:, None], reading.points, 0.0),
+                axis=0,
+            ) / cnt
+            r_local = jnp.max(jnp.where(
+                reading.mask,
+                jnp.linalg.norm(reading.points - c[None, :], axis=1),
+                0.0,
+            ))
+            R = T_new[:dim, :dim]
+            t = T_new[:dim, dim]
+            sigma = jnp.sqrt(jnp.maximum(dim - jnp.trace(R), 0.0))
+            drift = jnp.linalg.norm(R @ c + t - c)
+            return sigma * r_local + drift
+
+        def queue_run(pool, pool_aux, T0_pool, reference, shared_aux):
             dim = reference.dim
-            aux = dict(shared_aux) if shared_aux else None
-            T_eye = jnp.eye(dim + 1, dtype=jnp.float32)
+            has_per = bool(tile)
+            if has_per:
+                aux_axes = {
+                    **{k: 0 for k in pool_aux},
+                    **{k: None for k in shared_aux},
+                }
+            elif shared_aux:
+                aux_axes = {k: None for k in shared_aux}
+            else:
+                aux_axes = None
 
             # initial lane assignment: scans 0..L-1 (host asserts Q >= L)
             lane_scan0 = jnp.arange(L, dtype=jnp.int32)
             lane_reading0 = jax.tree_util.tree_map(
                 lambda x: x[:L], pool
+            )
+            lane_aux0 = (
+                jax.tree_util.tree_map(lambda x: x[:L], pool_aux)
+                if has_per else {}
             )
             T_iter0 = T0_pool[:L]
             chk0 = jax.vmap(
@@ -295,8 +400,9 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
                 ),
                 out0_single,
             )
+            shared = dict(shared_aux) if shared_aux else None
             mstate0 = (
-                jax.vmap(lambda r: matcher.loop_state_init(r, aux))(
+                jax.vmap(lambda r: matcher.loop_state_init(r, shared))(
                     lane_reading0
                 )
                 if stateful else None
@@ -320,24 +426,38 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
             out_T0 = jnp.zeros((Q + 1, dim + 1, dim + 1), jnp.float32)
             out_iters0 = jnp.zeros((Q + 1,), jnp.int32)
             out_code0 = jnp.zeros((Q + 1,), jnp.int32)
+            out_motion0 = jnp.zeros((Q + 1,), jnp.float32)
 
             def cond(carry):
-                return jnp.any(carry[1] >= 0)
+                return jnp.any(carry[2] >= 0)  # lane_scan
 
             def body(carry):
-                (lane_reading, lane_scan, T_iter, chk, outl, it_ct, code_l,
-                 mstate, next_idx, out_T, out_iters, out_code,
-                 out_stats) = carry
+                (lane_reading, lane_aux, lane_scan, T_iter, chk, outl,
+                 it_ct, code_l, motion, mstate, next_idx, out_T, out_iters,
+                 out_code, out_stats, out_motion) = carry
 
+                if has_per:
+                    aux_arg = {**lane_aux, **(shared_aux or {})}
+                elif shared_aux:
+                    aux_arg = dict(shared_aux)
+                else:
+                    aux_arg = None
                 T_new, chk, outl, iterate, code2, stats, _, _, mstate = (
                     jax.vmap(
                         step,
-                        in_axes=(0, None, 0, 0, 0, 0, None, 0),
+                        in_axes=(0, None, 0, 0, 0, 0, aux_axes, 0),
                     )(lane_reading, reference, T_iter, chk, outl, it_ct,
-                      aux, mstate)
+                      aux_arg, mstate)
                 )
                 it_new = it_ct + 1
                 code_l = jnp.maximum(code_l, code2)
+                if track_motion:
+                    motion = jnp.maximum(
+                        motion,
+                        jax.vmap(lambda r, T: motion_of(r, T, dim))(
+                            lane_reading, T_new
+                        ),
+                    )
                 active = lane_scan >= 0
                 finished = jnp.logical_and(active,
                                            jnp.logical_not(iterate))
@@ -347,6 +467,7 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
                 out_T = out_T.at[widx].set(T_new)
                 out_iters = out_iters.at[widx].set(it_new)
                 out_code = out_code.at[widx].set(code_l)
+                out_motion = out_motion.at[widx].set(motion)
                 out_stats = jax.tree_util.tree_map(
                     lambda o, s: o.at[widx].set(s), out_stats, stats
                 )
@@ -369,6 +490,12 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
                                              p[src], cur),
                     pool, lane_reading,
                 )
+                if has_per:
+                    lane_aux = jax.tree_util.tree_map(
+                        lambda p, cur: jnp.where(_bmask(swap, cur.ndim),
+                                                 p[src], cur),
+                        pool_aux, lane_aux,
+                    )
                 T_iter = jnp.where(
                     _bmask(swap, 3), T0_pool[src], T_new
                 )
@@ -385,9 +512,10 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
                 )
                 it_ct = jnp.where(swap, 0, it_new)
                 code_l = jnp.where(swap, 0, code_l)
+                motion = jnp.where(swap, 0.0, motion)
                 if mstate is not None:
                     mreset = jax.vmap(
-                        lambda r: matcher.loop_state_init(r, aux)
+                        lambda r: matcher.loop_state_init(r, shared)
                     )(lane_reading)
                     mstate = jax.tree_util.tree_map(
                         lambda i0, c: jnp.where(
@@ -396,21 +524,24 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key):
                         mreset, mstate,
                     )
 
-                return (lane_reading, lane_scan, T_iter, chk, outl, it_ct,
-                        code_l, mstate, next_idx, out_T, out_iters,
-                        out_code, out_stats)
+                return (lane_reading, lane_aux, lane_scan, T_iter, chk,
+                        outl, it_ct, code_l, motion, mstate, next_idx,
+                        out_T, out_iters, out_code, out_stats, out_motion)
 
             init = (
-                lane_reading0, lane_scan0, T_iter0, chk0, outl0,
+                lane_reading0, lane_aux0, lane_scan0, T_iter0, chk0, outl0,
                 jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
+                jnp.zeros((L,), jnp.float32),
                 mstate0, jnp.int32(L), out_T0, out_iters0, out_code0,
-                out_stats0,
+                out_stats0, out_motion0,
             )
             out = jax.lax.while_loop(cond, body, init)
-            out_T, out_iters, out_code, out_stats = out[9], out[10], \
-                out[11], out[12]
+            (out_T, out_iters, out_code, out_stats, out_motion) = (
+                out[11], out[12], out[13], out[14], out[15]
+            )
             return (out_T[:Q], out_iters[:Q], out_code[:Q],
-                    jax.tree_util.tree_map(lambda x: x[:Q], out_stats))
+                    jax.tree_util.tree_map(lambda x: x[:Q], out_stats),
+                    out_motion[:Q])
 
         return jax.jit(queue_run)
 

@@ -195,8 +195,10 @@ def test_similarity_transform_scale():
 
 
 def test_reading_step_filters_run_per_iteration():
-    """FixStepSampling as a readingStep filter forces the stepped engine and
-    advances its schedule every iteration (reference: ICP.cpp:371-377)."""
+    """FixStepSampling as a readingStep filter advances its schedule every
+    iteration (reference: ICP.cpp:371-377). Its schedule is deterministic,
+    so it runs IN-TRACE inside the fused while_loop (round 5); the pose
+    must still be right."""
     rng = np.random.default_rng(0)
     src = rng.uniform(-1, 1, size=(1000, 3)).astype(np.float32)
     reading = pm.PointCloud.from_numpy(src)
@@ -215,6 +217,39 @@ def test_reading_step_filters_run_per_iteration():
     T = np.asarray(icp(reading, reference, seed=0))
     np.testing.assert_allclose(T[:3, 3], [0.05, 0, 0], atol=0.02)
     assert icp.last_iteration_count > 1
+
+
+def test_step_filter_fused_matches_stepped_driver():
+    """The in-trace FixStepSampling schedule must reproduce the host
+    stepped driver's registration: same schedule values, same masks, same
+    pose (power-of-two stepMult keeps the f32 schedule arithmetic exact)."""
+    rng = np.random.default_rng(4)
+    src = rng.uniform(-1, 1, size=(1200, 3)).astype(np.float32)
+    reading = pm.PointCloud.from_numpy(src)
+    reference = pm.PointCloud.from_numpy(src + np.float32([0.04, -0.02, 0]))
+
+    def build():
+        icp = pm.ICP()
+        icp.set_default()
+        icp.reading_filters = []
+        icp.error_minimizer = pm.ErrorMinimizerRegistrar.create(
+            "PointToPointErrorMinimizer"
+        )
+        icp.reading_step_filters = [pm.DataPointsFilterRegistrar.create(
+            "FixStepSamplingDataPointsFilter",
+            {"startStep": "8", "endStep": "1", "stepMult": "0.5"},
+        )]
+        return icp
+
+    fused = build()
+    assert fused._step_chain_traced()
+    T_f = np.asarray(fused(reading, reference, seed=0))
+
+    stepped = build()
+    stepped._step_chain_traced = lambda: False  # force the host driver
+    T_s = np.asarray(stepped(reading, reference, seed=0))
+    assert stepped.last_iteration_count == fused.last_iteration_count
+    np.testing.assert_allclose(T_f, T_s, atol=1e-5)
 
 
 def test_matmul_precision_pinned():

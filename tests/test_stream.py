@@ -122,3 +122,27 @@ def test_warmup_precompiles_serving(ref3d, data3d):
     register_batch_to_map(seq, [data3d] * 4, seed=1)
     register_queue_to_map(seq, [data3d] * 8, seed=1, lanes=4)
     assert len(seq._jit_cache) == n  # no new compiles after warmup
+
+
+@pytest.mark.slow
+def test_queue_tile_matcher_matches_batch(ref3d, data3d):
+    """The tile-aux queue mode (BlockGridMatcher: per-scan assignments
+    pooled and swapped with the lanes) must reproduce the batched aux
+    path bit for bit, including the per-scan motionBound audit."""
+    from libpointmatcher_tpu.matchers import MatcherRegistrar
+
+    seq = pm.ICPSequence()
+    seq.set_default()
+    seq.matcher = MatcherRegistrar.create(
+        "BlockGridMatcher", {"maxDist": "2.0", "motionBound": "25.0"})
+    seq.set_map(ref3d, seed=0)
+    scans = [data3d] * 8
+    Tb, ib = register_batch_to_map(seq, scans, seed=0)
+    Tq, iq = register_queue_to_map(seq, scans, seed=0, lanes=4)
+    assert np.array_equal(ib["iterations"], iq["iterations"])
+    np.testing.assert_array_equal(Tb, Tq)
+    assert "motion_bound_exceeded" in iq
+    np.testing.assert_array_equal(
+        ib["motion_bound_exceeded"], iq["motion_bound_exceeded"]
+    )
+    assert not iq["motion_bound_exceeded"].any()
