@@ -19,8 +19,15 @@ TPU design — two interchangeable loop drivers sharing one traced step:
   the host afterwards. This is the production path: one device program per
   (shape-bucket, config), zero host round-trips per iteration.
 - **stepped**: a host-driven loop calling the jitted step once per iteration;
-  used when per-iteration inspection (VTK dumps) or host-stateful step
-  filters (FixStepSampling schedules) demand it.
+  used when per-iteration inspection (VTK dumps) or genuinely host-stateful
+  step filters demand it. Deterministic step-filter schedules
+  (FixStepSampling's geometric startStep→endStep sequence) are NOT in that
+  class anymore: they run in-trace inside the fused loop
+  (DataPointsFilter.mask_at_iteration / SCHEDULE_TRACEABLE).
+
+A third driver lives in :mod:`.parallel.stream`: continuous-batching queue
+serving (scan swapped into a lane the moment its checkers stop), with an
+optional coarse-to-fine phase schedule.
 """
 
 from __future__ import annotations

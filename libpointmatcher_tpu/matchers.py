@@ -286,19 +286,22 @@ class KDTreeMatcher(Matcher):
         m, d = pts.shape
         m_pad = -(-m // 128) * 128
         stream_ok = (
-            os.environ.get("PMTPU_SERVE_STREAM", "0") == "1"
+            os.environ.get("PMTPU_SERVE_STREAM", "auto") != "0"
             and m_pad <= self.STREAM_MAX_MPAD
         )
         if (m_pad > SKIP_MAX_MPAD and not stream_ok) or d > 3:
             self._skip_shared = None
             return False
-        # above VMEM residency the sweep streams survivors from HBM
-        # (ops/knn_sweep2.nn1_survivor_sweep_stream) — EXPERIMENTAL,
-        # opt-in via PMTPU_SERVE_STREAM=1: interpret-mode bit-parity is
-        # covered by tests, but the first on-chip compile did not finish
-        # within the round-4 validation budget (relay compiles of the
-        # DMA kernel run minutes+); do not default it on until a
-        # committed chip A/B exists
+        # above VMEM residency the sweep streams surviving chunks from
+        # HBM (ops/knn_sweep2.nn1_survivor_sweep_stream) — DEFAULT-ON
+        # within (SKIP_MAX_MPAD, STREAM_MAX_MPAD] since the round-5 chip
+        # A/B: at the 1e5-row terrain map it serves 16.3 reg/s vs the
+        # dense sweep's 7.6 (2.15x) with exact matches (LARGE_r05.json;
+        # compile 35 s through the relay, persistent-cached).
+        # PMTPU_SERVE_STREAM=0 forces it off, =1 forces it on.
+        # Beyond STREAM_MAX_MPAD the SMEM flag table and the O(nch)
+        # scalar survivor scan per tile stop paying — BlockGridMatcher's
+        # tile sweep is the tool there.
         self._skip_stream = m_pad > SKIP_MAX_MPAD
         rorder, _ = morton_argsort(pts, mask)
         rs = pts[rorder]

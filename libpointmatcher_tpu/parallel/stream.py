@@ -378,14 +378,17 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             else:
                 aux_axes = None
 
-            # initial lane assignment: scans 0..L-1 (host asserts Q >= L)
+            # initial lane assignment: scans 0..L-1 (host asserts Q >= L).
+            # Lane readings and per-scan aux are NOT carried: the body
+            # indexes the HBM pools by lane_scan every iteration — a
+            # while_loop carry would double-buffer (copy) the full lane
+            # tables each iteration, which measured 1.6x SLOWER than the
+            # lockstep batch on the tile path (~190 MB of candidate
+            # tables per copy at the 1e5-map shape); the per-iteration
+            # pool gather is lanes x scan-bytes only.
             lane_scan0 = jnp.arange(L, dtype=jnp.int32)
             lane_reading0 = jax.tree_util.tree_map(
                 lambda x: x[:L], pool
-            )
-            lane_aux0 = (
-                jax.tree_util.tree_map(lambda x: x[:L], pool_aux)
-                if has_per else {}
             )
             T_iter0 = T0_pool[:L]
             chk0 = jax.vmap(
@@ -429,14 +432,21 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             out_motion0 = jnp.zeros((Q + 1,), jnp.float32)
 
             def cond(carry):
-                return jnp.any(carry[2] >= 0)  # lane_scan
+                return jnp.any(carry[0] >= 0)  # lane_scan
 
             def body(carry):
-                (lane_reading, lane_aux, lane_scan, T_iter, chk, outl,
+                (lane_scan, T_iter, chk, outl,
                  it_ct, code_l, motion, mstate, next_idx, out_T, out_iters,
                  out_code, out_stats, out_motion) = carry
 
+                cur = jnp.clip(lane_scan, 0, Q - 1)
+                lane_reading = jax.tree_util.tree_map(
+                    lambda x: x[cur], pool
+                )
                 if has_per:
+                    lane_aux = jax.tree_util.tree_map(
+                        lambda x: x[cur], pool_aux
+                    )
                     aux_arg = {**lane_aux, **(shared_aux or {})}
                 elif shared_aux:
                     aux_arg = dict(shared_aux)
@@ -485,17 +495,6 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
                 next_idx = next_idx + jnp.sum(finished.astype(jnp.int32))
 
                 src = jnp.clip(jnp.where(swap, new_scan, 0), 0, Q - 1)
-                lane_reading = jax.tree_util.tree_map(
-                    lambda p, cur: jnp.where(_bmask(swap, cur.ndim),
-                                             p[src], cur),
-                    pool, lane_reading,
-                )
-                if has_per:
-                    lane_aux = jax.tree_util.tree_map(
-                        lambda p, cur: jnp.where(_bmask(swap, cur.ndim),
-                                                 p[src], cur),
-                        pool_aux, lane_aux,
-                    )
                 T_iter = jnp.where(
                     _bmask(swap, 3), T0_pool[src], T_new
                 )
@@ -514,9 +513,13 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
                 code_l = jnp.where(swap, 0, code_l)
                 motion = jnp.where(swap, 0.0, motion)
                 if mstate is not None:
+                    # next iteration's readings (pool-indexed, post-swap)
+                    reading_next = jax.tree_util.tree_map(
+                        lambda x: x[jnp.clip(lane_scan, 0, Q - 1)], pool
+                    )
                     mreset = jax.vmap(
                         lambda r: matcher.loop_state_init(r, shared)
-                    )(lane_reading)
+                    )(reading_next)
                     mstate = jax.tree_util.tree_map(
                         lambda i0, c: jnp.where(
                             _bmask(swap, c.ndim), i0, c
@@ -524,12 +527,12 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
                         mreset, mstate,
                     )
 
-                return (lane_reading, lane_aux, lane_scan, T_iter, chk,
+                return (lane_scan, T_iter, chk,
                         outl, it_ct, code_l, motion, mstate, next_idx,
                         out_T, out_iters, out_code, out_stats, out_motion)
 
             init = (
-                lane_reading0, lane_aux0, lane_scan0, T_iter0, chk0, outl0,
+                lane_scan0, T_iter0, chk0, outl0,
                 jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32),
                 jnp.zeros((L,), jnp.float32),
                 mstate0, jnp.int32(L), out_T0, out_iters0, out_code0,
@@ -537,7 +540,7 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             )
             out = jax.lax.while_loop(cond, body, init)
             (out_T, out_iters, out_code, out_stats, out_motion) = (
-                out[11], out[12], out[13], out[14], out[15]
+                out[9], out[10], out[11], out[12], out[13]
             )
             return (out_T[:Q], out_iters[:Q], out_code[:Q],
                     jax.tree_util.tree_map(lambda x: x[:Q], out_stats),
