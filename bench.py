@@ -202,9 +202,11 @@ def main():
     # schedule as queue phases, reference: ICP.cpp:373-379 +
     # DataPointsFilters/FixStepSampling.cpp): headline-eligible only when
     # pose parity with the plain queue holds at golden-criterion scale
-    # (4,10,1.0): best of the round-5 chip sweep (queue_ab_out.json —
-    # 34.3 reg/s vs 22.6 plain queue, pose diff vs plain <= 0.7 mm max)
-    c2f_env = os.environ.get("PMTPU_BENCH_C2F", "4,10,1.0")
+    # (4,16,1.0): best of the round-5 chip sweeps (tools/c2f_tune.py —
+    # 37.1/39.3 reg/s in two runs vs 22.6 plain queue, fine iters ~4.7,
+    # pose diff vs plain <= 0.6 mm max; deeper coarse budgets pay until
+    # ~16 iterations, then contention noise dominates)
+    c2f_env = os.environ.get("PMTPU_BENCH_C2F", "4,16,1.0")
     c2f_throughput, c2f_iters, c2f_parity = 0.0, float("nan"), float("nan")
     try:
         if c2f_env in ("", "0", "off"):

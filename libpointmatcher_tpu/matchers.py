@@ -254,10 +254,15 @@ class KDTreeMatcher(Matcher):
         if mode == "0":
             self._skip_shared = None
             return False
+        # knn 2..4 runs the exact top-k survivor sweep, but only under an
+        # EXPLICIT PMTPU_SERVE_SKIP=1 (no committed perf A/B yet — the
+        # auto default stays measured-knn==1-only); knn > 4 and the MXU
+        # epsilon opt-in always fall back to the dense path
         if (mode not in ("1", "auto")
                 or (mode == "auto"
-                    and reference.num_points < self.SKIP_AUTO_MIN_MAP)
-                or self.knn != 1
+                    and (reference.num_points < self.SKIP_AUTO_MIN_MAP
+                         or self.knn != 1))
+                or self.knn > 4
                 or float(self.epsilon) >= 1e-5  # MXU kernel opt-in wins
                 or not _use_pallas()):
             self._skip_shared = None
@@ -290,6 +295,10 @@ class KDTreeMatcher(Matcher):
             and m_pad <= self.STREAM_MAX_MPAD
         )
         if (m_pad > SKIP_MAX_MPAD and not stream_ok) or d > 3:
+            self._skip_shared = None
+            return False
+        if self.knn > 1 and m_pad > SKIP_MAX_MPAD:
+            # top-k sweep is resident-only (the streaming variant is 1-NN)
             self._skip_shared = None
             return False
         # above VMEM residency the sweep streams surviving chunks from
@@ -410,16 +419,30 @@ class KDTreeMatcher(Matcher):
         import os as _os2
 
         if ("skip_rt3" in aux
-                and (_os2.environ.get("PMTPU_SKIP_V1", "0") != "1"
+                and (self.knn > 1  # v1 kernels are 1-NN only
+                     or _os2.environ.get("PMTPU_SKIP_V1", "0") != "1"
                      or "skip_rt" not in aux)):
             # survivor-list sweep (ops/knn_sweep2): per-query bbox/ball
             # bounds and a dynamic loop over surviving 128-row chunks —
             # no per-chunk branches, no XLA mask stage. The transported
             # bound rides in as a DISTANCE, inflated 4 ulps for its own
             # sqrt/add roundings.
+            ub_t = (jnp.sqrt(prev_d2) + step) * (1.0 + 4e-7)
+            if self.knn > 1:
+                # exact top-k (k <= 4): the k previous winners are real
+                # points within sqrt(prev_dk) of q_prev, so q_now has
+                # >= k real points within the transported radius —
+                # d_k(now) is bounded by it
+                from .ops.knn_sweep2 import nnk_sorted_v2
+
+                dk, ik, _ = nnk_sorted_v2(
+                    qs, qm, ub_t, aux["skip_rt3"], aux["skip_ct"],
+                    k=int(self.knn),
+                )
+                new_state = (qs, dk[:, -1])
+                return self._apply_max_dist(Matches(dk, ik)), new_state
             from .ops.knn_sweep2 import nn1_sorted_v2
 
-            ub_t = (jnp.sqrt(prev_d2) + step) * (1.0 + 4e-7)
             d_s, i_s, _ = nn1_sorted_v2(
                 qs, qm, ub_t, aux["skip_rt3"], aux["skip_ct"],
                 stream=self._skip_stream,

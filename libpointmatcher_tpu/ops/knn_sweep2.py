@@ -53,6 +53,8 @@ __all__ = [
     "nn1_survivor_sweep",
     "nn1_survivor_sweep_stream",
     "nn1_sorted_v2",
+    "nnk_survivor_sweep",
+    "nnk_sorted_v2",
 ]
 
 _DPAD = 8
@@ -71,8 +73,10 @@ _B_UNROLL = 4
 # ------------------------------------------------------------- host helpers
 def chunk_summaries(pts_sorted, mask_sorted, chunk: int = 128):
     """Host, once per map: [8, nch_pad] per-chunk bbox table — rows 0..2
-    lo, rows 3..5 hi (valid points only, hi inflated 4 ulps outward).
-    Empty chunks sit at _FAR. nch pads to a lane multiple of 128."""
+    lo, rows 3..5 hi (valid points only, hi inflated 4 ulps outward),
+    row 6 the chunk's VALID COUNT (the k-NN upper bound may only come
+    from chunks holding >= k real points). Empty chunks sit at _FAR.
+    nch pads to a lane multiple of 128."""
     import numpy as np
 
     pts = np.asarray(pts_sorted, np.float64)
@@ -98,6 +102,9 @@ def chunk_summaries(pts_sorted, mask_sorted, chunk: int = 128):
     out[:d, :nch] = lo.T.astype(np.float32)
     out[3:3 + d, :nch] = hi.T.astype(np.float32)
     out[6:, :] = 0.0
+    cnt = np.zeros((npad,), np.float32)
+    cnt[:n] = mask.astype(np.float32)
+    out[6, :nch] = cnt.reshape(-1, chunk).sum(axis=1)
     return out
 
 
@@ -122,13 +129,19 @@ def chunked_ref_table(pts_sorted, mask_sorted):
 
 
 # ------------------------------------------------------------ stage A
-def _bounds_kernel(q_ref, ct_ref, ub_ref, surv_ref, *, dim, ngrp, tile_q):
+def _bounds_kernel(q_ref, ct_ref, ub_ref, surv_ref, *, dim, ngrp, tile_q,
+                   k=1):
     """One grid step = _A_TILES query tiles (static output rows).
 
     Per tile: pass 1 over chunk-lane groups accumulates the per-query
     upper bound U_q = min over chunks of (‖q − box-center‖ +
     half-diagonal), fused with the transported bound in q col 4; pass 2
-    writes per-chunk survival any_q(bbox-dist(q, ch) ≤ U_q)."""
+    writes per-chunk survival any_q(bbox-dist(q, ch) ≤ U_q).
+
+    k > 1: the bound covers the k-th NN — only chunks holding >= k valid
+    points (ct row 6) may bind it (k real points within that radius ⇒
+    d_k ≤ bound); survival against U_q^k keeps every chunk that can
+    contain ANY of the k nearest (bbox-dist ≤ d_k ≤ U_q^k)."""
     tile_rows = []
     for t in range(_A_TILES):
         rows = slice(t * tile_q, (t + 1) * tile_q)
@@ -153,6 +166,10 @@ def _bounds_kernel(q_ref, ct_ref, ub_ref, surv_ref, *, dim, ngrp, tile_q):
                 dc2 = dc2 + diff * diff
                 rr2 = rr2 + half * half
             cand = (jnp.sqrt(dc2) + jnp.sqrt(rr2)) * (1.0 + 4e-7)
+            if k > 1:
+                sl = slice(g * 128, (g + 1) * 128)
+                few = ct_ref[6, sl][None, :] < float(k)
+                cand = cand + jnp.where(few, jnp.float32(_FAR), 0.0)
             ub = jnp.minimum(ub, jnp.min(cand, axis=1)[:, None])
         ub_ref[rows, 0] = ub[:, 0]
 
@@ -178,12 +195,13 @@ def _bounds_kernel(q_ref, ct_ref, ub_ref, surv_ref, *, dim, ngrp, tile_q):
             surv_ref[t:t + 1, sl] = tile_rows[t][g][None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_q",))
-def survivors_and_bounds(qp, ct, tile_q: int = 256):
+@functools.partial(jax.jit, static_argnames=("tile_q", "k"))
+def survivors_and_bounds(qp, ct, tile_q: int = 256, k: int = 1):
     """qp [n_pad, 8] (cols 0..d coords, col 3 = 0 valid / _FAR invalid,
     col 4 = transported upper-bound DISTANCE, +inf unknown; n_pad a
     multiple of 8·tile_q), ct from :func:`chunk_summaries`.
-    → (ub [n_pad], surv [ni, nch_pad] int32)."""
+    → (ub [n_pad], surv [ni, nch_pad] int32). ``k`` bounds the k-th NN
+    (see kernel docstring)."""
     n_pad = qp.shape[0]
     nch_pad = ct.shape[1]
     step_rows = _A_TILES * tile_q
@@ -193,7 +211,7 @@ def survivors_and_bounds(qp, ct, tile_q: int = 256):
 
     ub, surv = pl.pallas_call(
         functools.partial(_bounds_kernel, dim=dim,
-                          ngrp=nch_pad // 128, tile_q=tile_q),
+                          ngrp=nch_pad // 128, tile_q=tile_q, k=k),
         grid=(n_pad // step_rows,),
         in_specs=[
             pl.BlockSpec((step_rows, _DPAD), lambda i: (i, 0),
@@ -325,6 +343,139 @@ def nn1_survivor_sweep(qp, rt3, surv, tile_q: int = 256):
         ),
     )(surv, qp, rt3)
     return out_d[:, 0], out_i[:, 0]
+
+
+# ------------------------------------------------------- stage B, top-k
+def _sweepk_kernel(surv_ref, q_ref, rt3_ref, out_d_ref, out_i_ref,
+                   lst_ref, *, dim, tile_q, nch, k):
+    """Top-k sweep over surviving chunks (k ≤ 4): same scalar-core list
+    build as :func:`_sweep_kernel`; the dynamic loop merges one 128-row
+    chunk per iteration into a running sorted top-k carried in registers
+    — concat [TQ, k + 128], k passes of (min, one-hot arg, mask-out)
+    (the _nnk_kernel extraction idiom; ids ride as f32, exact below 2^24
+    — m_pad ≤ SKIP_MAX_MPAD ≪ 2^24)."""
+    i = pl.program_id(0)
+    qcols = [q_ref[:, c][:, None] for c in range(dim)]
+
+    def scan_body(ch, cnt):
+        flag = surv_ref[i, ch]
+
+        @pl.when(flag != 0)
+        def _():
+            lst_ref[cnt] = ch
+
+        return cnt + flag
+
+    cnt = lax.fori_loop(0, nch, scan_body, jnp.int32(0))
+
+    def body(j, carry):
+        best_d, best_i = carry                   # [TQ, k] sorted asc
+        ch = lst_ref[jnp.minimum(j, cnt - 1)]
+        blk = rt3_ref[ch]                        # [8, 128]
+        d2 = blk[3, :][None, :]                  # +inf at invalid rows
+        for c in range(dim):
+            diff = qcols[c] - blk[c, :][None, :]
+            d2 = d2 + diff * diff
+        ids = (jnp.float32(ch * 128)
+               + lax.broadcasted_iota(jnp.float32, d2.shape, 1))
+        d2 = jnp.broadcast_to(d2, (tile_q, 128))
+        ids = jnp.broadcast_to(ids, (tile_q, 128))
+        md = jnp.concatenate([best_d, d2], axis=1)      # [TQ, k+128]
+        mi = jnp.concatenate([best_i, ids], axis=1)
+        col = lax.broadcasted_iota(jnp.int32, md.shape, 1)
+        nd, ni_ = [], []
+        for _ in range(k):
+            td = jnp.min(md, axis=1)
+            tpos = jnp.argmin(md, axis=1).astype(jnp.int32)
+            hit = col == tpos[:, None]
+            nd.append(td)
+            ni_.append(jnp.sum(jnp.where(hit, mi, 0.0), axis=1))
+            md = jnp.where(hit, jnp.inf, md)
+        return jnp.stack(nd, axis=1), jnp.stack(ni_, axis=1)
+
+    init = (
+        jnp.full((tile_q, k), jnp.inf, jnp.float32),
+        jnp.full((tile_q, k), -1.0, jnp.float32),
+    )
+    best_d, best_i = lax.fori_loop(0, cnt, body, init)
+    out_d_ref[:, :] = best_d
+    out_i_ref[:, :] = best_i.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "k"))
+def nnk_survivor_sweep(qp, rt3, surv, tile_q: int = 256, k: int = 2):
+    """Exact k-NN over surviving chunks only (resident maps; the
+    streaming variant stays 1-NN). Same contract as
+    :func:`nn1_survivor_sweep` with [n_pad, k] outputs, ascending."""
+    n_pad = qp.shape[0]
+    ni = n_pad // tile_q
+    nch = rt3.shape[0]
+    nch_pad = surv.shape[1]
+    assert surv.shape[0] == ni, (surv.shape, ni)
+
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_sweepk_kernel, dim=3, tile_q=tile_q, nch=nch,
+                          k=k),
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((ni, nch_pad), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_q, _DPAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, _DPAD, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((nch_pad,), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=(12 + 6 * k) * n_pad * nch * 16,
+            bytes_accessed=4 * (n_pad * _DPAD + nch * _DPAD * 128),
+            transcendentals=0,
+        ),
+    )(surv, qp, rt3)
+    return out_d, out_i
+
+
+def nnk_sorted_v2(qs, qm, ub_t, rt3, ct, k: int, tile_q: int = 256,
+                  sweep_tile_q: int = 1024):
+    """k-NN (k ≤ 4) serving-iteration matching step: k-th-NN bounds →
+    survivors → exact top-k sweep. Same contract as :func:`nn1_sorted_v2`
+    with [n, k] outputs; ub_t transports the previous iteration's k-th
+    distance."""
+    n, d = qs.shape
+    fold = max(1, sweep_tile_q // tile_q)
+    step_rows = _A_TILES * tile_q
+    n_pad = -(-n // max(step_rows, sweep_tile_q)) * max(step_rows,
+                                                        sweep_tile_q)
+    nch = rt3.shape[0]
+
+    qp = jnp.zeros((n_pad, _DPAD), jnp.float32)
+    qp = qp.at[:n, :d].set(qs)
+    qp = qp.at[n:, 3].set(_FAR)
+    qp = qp.at[:n, 3].set(jnp.where(qm, 0.0, _FAR))
+    qp = qp.at[:, 4].set(jnp.inf).at[:n, 4].set(ub_t)
+
+    _, surv = survivors_and_bounds(qp, ct, tile_q=tile_q, k=k)
+    ni = surv.shape[0]
+    if fold > 1:
+        surv = jnp.max(surv.reshape(ni // fold, fold, -1), axis=1)
+    d2, ids = nnk_survivor_sweep(qp, rt3, surv, tile_q=sweep_tile_q, k=k)
+    d2 = d2[:n]
+    ids = ids[:n]
+    finite = jnp.isfinite(d2)
+    d2 = jnp.where(qm[:, None], d2, jnp.inf)
+    ids = jnp.where(jnp.logical_and(qm[:, None], finite), ids, -1)
+    frac = jnp.sum(surv) / (surv.shape[0] * nch)
+    return d2, ids, frac
 
 
 # ------------------------------------------- stage B, streaming (large maps)

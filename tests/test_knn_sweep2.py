@@ -145,3 +145,43 @@ def test_v2_empty_and_tiny(interpret_mode):
         jnp.asarray(rt3), jnp.asarray(ct))
     assert np.all(np.isinf(np.asarray(d)))
     assert np.all(np.asarray(ids) == -1)
+
+
+@pytest.mark.parametrize("k,seed", [(2, 1), (4, 5)])
+def test_knnk_matches_brute_force(interpret_mode, k, seed):
+    """Top-k survivor sweep (k <= 4): exact vs brute force, both cold
+    (+inf transported bound) and with a transported k-th-distance bound
+    from a perturbed previous pose (round-5 widening, verdict #8)."""
+    q, qm, r, rm = _cloudlike(seed=seed)
+    rorder, rs, rsm, rt3, ct = _sorted_tables(r, rm)
+    qs = jnp.asarray(q)
+    qsm = jnp.asarray(qm)
+    ub = jnp.full((len(q),), jnp.inf, jnp.float32)
+    dk, ik, frac = k2.nnk_sorted_v2(qs, qsm, ub, jnp.asarray(rt3),
+                                    jnp.asarray(ct), k=k)
+    d0, i0 = knn_brute_force(qs, qsm, jnp.asarray(rs), jnp.asarray(rsm),
+                             k=k)
+    dk, ik = np.asarray(dk), np.asarray(ik)
+    d0, i0 = np.asarray(d0), np.asarray(i0)
+    assert np.array_equal(np.isfinite(dk), np.isfinite(d0))
+    f = np.isfinite(d0)
+    np.testing.assert_allclose(dk[f], d0[f], rtol=1e-5, atol=1e-6)
+    diff = (ik != i0) & f
+    assert np.all(np.abs(dk[diff] - d0[diff]) < 1e-5)  # ties only
+
+    # transported bound: move queries slightly, bound = prev k-th + step
+    q2 = q + np.random.default_rng(9).normal(
+        scale=0.05, size=q.shape).astype(np.float32)
+    step = np.linalg.norm(q2 - q, axis=1)
+    ub2 = jnp.asarray((np.sqrt(np.where(f[:, -1], dk[:, -1], np.inf))
+                       + step) * (1 + 4e-7), jnp.float32)
+    dk2, ik2, frac2 = k2.nnk_sorted_v2(jnp.asarray(q2), qsm, ub2,
+                                       jnp.asarray(rt3),
+                                       jnp.asarray(ct), k=k)
+    d02, i02 = knn_brute_force(jnp.asarray(q2), qsm, jnp.asarray(rs),
+                               jnp.asarray(rsm), k=k)
+    dk2, d02 = np.asarray(dk2), np.asarray(d02)
+    f2 = np.isfinite(d02)
+    assert np.array_equal(np.isfinite(dk2), f2)
+    np.testing.assert_allclose(dk2[f2], d02[f2], rtol=1e-5, atol=1e-6)
+    assert float(frac2) <= float(frac) + 1e-6  # bound actually prunes

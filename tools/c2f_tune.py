@@ -34,8 +34,10 @@ def main():
     T_ref, _ = register_queue_to_map(seq, scans, seed=0, lanes=lanes)
     p = np.asarray(jax.device_get(reading.points))
 
-    for coarse in [(4, 10, 1.0), (4, 12, 1.0), (4, 14, 1.0), (4, 16, 1.0),
-                   (6, 12, 1.0), (8, 14, 1.0)]:
+    import ast, os
+    cfgs = ast.literal_eval(os.environ.get("PMTPU_C2F_CONFIGS",
+        "[(4,10,1.0),(4,12,1.0),(4,14,1.0),(4,16,1.0),(6,12,1.0),(8,14,1.0)]"))
+    for coarse in cfgs:
         register_queue_to_map(seq, scans, seed=0, lanes=lanes,
                               coarse=coarse)
         times = []

@@ -343,6 +343,12 @@ def main():
                     row["stream_vs_dense_speedup"] = round(
                         dres["ms_per_batch"] / sres["ms_per_batch"], 2
                     )
+                    # stream + continuous batching combined (queue's
+                    # 'skip' mode: shared tables, device Morton order,
+                    # loop-carried bounds)
+                    sqres, _ = serve_queue(stream, scans, "stream-q",
+                                           reps=args.reps)
+                    row["stream_queue"] = sqres
                 except Exception as e:
                     row["stream_skip_KDTreeMatcher"] = {"error": repr(e)}
                     print(f"  kd-stream FAILED: {e!r}")
