@@ -13,7 +13,7 @@ Reference analogue: the per-core thread sweep of
 are processes with XLA collectives instead of threads with shared memory.
 
 Usage: python tools/dryrun_multihost.py          # parent: spawns 2 procs
-Writes MULTIHOST_r04.json at the repo root.
+Writes MULTIHOST_r05.json at the repo root.
 """
 
 from __future__ import annotations
@@ -152,7 +152,7 @@ def main():
         "ok": ok,
         "results": results,
     }
-    path = os.path.join(ROOT, "MULTIHOST_r04.json")
+    path = os.path.join(ROOT, "MULTIHOST_r05.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1))
