@@ -270,7 +270,14 @@ class KDTreeMatcher(Matcher):
         try:
             # map-sharded serving: the resident-map kernel (and the
             # sorted-copy substitution) would silently replicate a map the
-            # caller laid out across the mesh — leave that path dense
+            # caller laid out across the mesh — leave that path dense.
+            # The chunk-axis-sharded sweep op EXISTS
+            # (parallel/sharding.sharded_nn1_sorted_v2 + mesh parity
+            # test; it multiplies the resident window by the mesh size),
+            # but wiring it into serving is deferred until multi-chip
+            # hardware can validate the end-to-end path — this
+            # environment has one chip (virtual CPU meshes cannot run
+            # the Pallas kernels outside interpret mode).
             if len(reference.points.devices()) > 1:
                 self._skip_shared = None
                 return False

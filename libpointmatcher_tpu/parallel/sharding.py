@@ -35,7 +35,8 @@ from ..cloud import PointCloud
 from ..ops.knn import knn_brute_force
 
 __all__ = ["make_mesh", "shard_cloud", "replicate_cloud", "sharded_knn",
-           "sharded_block_nn1", "sharded_tile_nn1"]
+           "sharded_block_nn1", "sharded_tile_nn1",
+           "sharded_nn1_sorted_v2", "pad_sweep_tables_for_mesh"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "points") -> Mesh:
@@ -204,3 +205,74 @@ def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
         return gd, jnp.where(gi == big, -1, gi)
 
     return run(points, qmask, q_rows, blocks, sub_pts, sub_ids)
+
+
+def pad_sweep_tables_for_mesh(rt3, ct, n_dev: int):
+    """Pad the survivor-sweep map tables (ops/knn_sweep2) so the CHUNK
+    axis divides an ``n_dev`` mesh with per-shard lane alignment: each
+    shard must hold a multiple of 128 chunks (the bounds kernel's lane
+    group) — pad chunks are empty (+inf penalty rows, _FAR bbox, count 0)
+    so they never survive, never bind a bound and never win a sweep.
+    Returns (rt3_pad [nch2, 8, 128], ct_pad [8, nch2])."""
+    import numpy as np
+
+    from ..ops.knn_sweep2 import _FAR
+
+    nch = rt3.shape[0]
+    local = -(-nch // (128 * n_dev)) * 128
+    nch2 = local * n_dev
+    rt3_pad = np.zeros((nch2, rt3.shape[1], rt3.shape[2]), np.float32)
+    rt3_pad[:nch] = np.asarray(rt3)
+    rt3_pad[nch:, 3, :] = np.inf          # penalty row: dead candidates
+    assert ct.shape[1] <= nch2
+    ct_pad = np.full((ct.shape[0], nch2), np.float32(_FAR))
+    ct_pad[:, :ct.shape[1]] = np.asarray(ct)
+    ct_pad[6:, ct.shape[1]:] = 0.0         # count row: can't bind k-bounds
+    return rt3_pad, ct_pad
+
+
+def sharded_nn1_sorted_v2(qs, qm, ub_t, rt3, ct, mesh: Mesh,
+                          axis_name: str = "points"):
+    """Survivor-list exact 1-NN with the MAP CHUNK axis sharded over the
+    mesh (round-5, verdict #8: pruned serving for sharded resident maps).
+
+    Each device runs the full bounds→survivors→sweep pipeline
+    (ops/knn_sweep2.nn1_sorted_v2) over ITS chunk span with replicated
+    queries — the per-shard upper bound is looser than the global one
+    (min over local chunks only), which keeps strictly more survivors:
+    still exact, just less pruned. Local winners are translated to global
+    sorted-map rows (shard * local_chunks * 128) and min-merged over ICI
+    with the (min distance, min row id on ties) convention. Sharding the
+    chunk axis also multiplies the VMEM-resident window by the mesh size
+    (8 x 32k-row shards = a 262k-row map without the HBM-streaming
+    variant). Tables must come from :func:`pad_sweep_tables_for_mesh`.
+    """
+    n_dev = mesh.shape[axis_name]
+    nch = rt3.shape[0]
+    assert nch % n_dev == 0 and (nch // n_dev) % 128 == 0, (
+        f"chunk axis {nch} must split into 128-multiples over {n_dev} "
+        "devices (pad_sweep_tables_for_mesh)"
+    )
+    local_nch = nch // n_dev
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name, None, None),
+                  P(None, axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(q, qmask, ub, rt3_l, ct_l):
+        from ..ops.knn_sweep2 import nn1_sorted_v2
+
+        d2, ids, _ = nn1_sorted_v2(q, qmask, ub, rt3_l, ct_l)
+        shard = jax.lax.axis_index(axis_name)
+        gids = jnp.where(ids >= 0, ids + shard * local_nch * 128, -1)
+        gd = jax.lax.pmin(d2, axis_name)
+        big = jnp.int32(np.iinfo(np.int32).max)
+        cand = jnp.where(jnp.logical_and(d2 == gd, gids >= 0), gids, big)
+        gi = jax.lax.pmin(cand, axis_name)
+        return gd, jnp.where(gi == big, -1, gi)
+
+    return run(qs, qm, ub_t, rt3, ct)

@@ -185,3 +185,51 @@ def test_knnk_matches_brute_force(interpret_mode, k, seed):
     assert np.array_equal(np.isfinite(dk2), f2)
     np.testing.assert_allclose(dk2[f2], d02[f2], rtol=1e-5, atol=1e-6)
     assert float(frac2) <= float(frac) + 1e-6  # bound actually prunes
+
+
+@pytest.mark.slow
+def test_sharded_survivor_sweep_parity(interpret_mode):
+    """Chunk-axis-sharded survivor sweep (round-5, verdict #8): per-shard
+    bounds are looser (local chunks only) but every shard's sweep is
+    exact, and the ICI min-merge must reproduce the single-device op —
+    and the brute force — over an 8-device mesh."""
+    import jax
+    from libpointmatcher_tpu.parallel.sharding import (
+        make_mesh, pad_sweep_tables_for_mesh, sharded_nn1_sorted_v2)
+
+    q, qm, r, rm = _cloudlike(n=800, m=2100, seed=11)
+    rorder, rs, rsm, rt3, ct = _sorted_tables(r, rm)
+    mesh = make_mesh(8)
+    rt3p, ctp = pad_sweep_tables_for_mesh(rt3, ct, 8)
+    assert rt3p.shape[0] % (8 * 128) == 0
+    qs = jnp.asarray(q)
+    qsm = jnp.asarray(qm)
+    ub = jnp.full((len(q),), jnp.inf, jnp.float32)
+    d_s, i_s = sharded_nn1_sorted_v2(
+        qs, qsm, ub, jnp.asarray(rt3p), jnp.asarray(ctp), mesh)
+    d0, i0 = knn_brute_force(qs, qsm, jnp.asarray(rs), jnp.asarray(rsm),
+                             k=1)
+    d_s, i_s = np.asarray(d_s), np.asarray(i_s)
+    d0, i0 = np.asarray(d0)[:, 0], np.asarray(i0)[:, 0]
+    assert np.array_equal(np.isfinite(d_s), np.isfinite(d0))
+    f = np.isfinite(d0)
+    np.testing.assert_allclose(d_s[f], d0[f], rtol=1e-5, atol=1e-7)
+    diff = (i_s != i0) & f
+    assert np.all(np.abs(d_s[diff] - d0[diff]) < 1e-6)  # ties only
+
+    # transported bound stays valid through the shard merge
+    q2 = q + np.random.default_rng(3).normal(
+        scale=0.03, size=q.shape).astype(np.float32)
+    step = np.linalg.norm(q2 - q, axis=1)
+    ub2 = jnp.asarray(
+        (np.sqrt(np.where(f, d_s, np.inf)) + step) * (1 + 4e-7),
+        jnp.float32)
+    d_s2, i_s2 = sharded_nn1_sorted_v2(
+        jnp.asarray(q2), qsm, ub2, jnp.asarray(rt3p), jnp.asarray(ctp),
+        mesh)
+    d02, _ = knn_brute_force(jnp.asarray(q2), qsm, jnp.asarray(rs),
+                             jnp.asarray(rsm), k=1)
+    f2 = np.isfinite(np.asarray(d02)[:, 0])
+    np.testing.assert_allclose(np.asarray(d_s2)[f2],
+                               np.asarray(d02)[:, 0][f2],
+                               rtol=1e-5, atol=1e-7)
