@@ -64,18 +64,88 @@ def _jacobi_rotation(A, V, i, j):
     return A, V
 
 
+def _round_robin_pairs(p):
+    """Tournament schedule: p−1 rounds of p/2 DISJOINT index pairs
+    covering every (i, j) exactly once (p even)."""
+    import numpy as np
+
+    others = list(range(1, p))
+    rounds = []
+    for _ in range(p - 1):
+        arr = [0] + others
+        rounds.append(tuple(
+            (min(arr[k], arr[p - 1 - k]), max(arr[k], arr[p - 1 - k]))
+            for k in range(p // 2)
+        ))
+        others = [others[-1]] + others[:-1]
+    del np
+    return rounds
+
+
+def _jacobi_round(A, V, pairs):
+    """One parallel-Jacobi round: all (disjoint) ``pairs`` rotated JOINTLY
+    via a single p×p orthogonal G (A ← GᵀAG, V ← VG). Mathematically equal
+    to applying the rotations sequentially — disjoint Givens commute and
+    each pivot (aii, ajj, aij) is untouched by the others — but the
+    sequential op chain is one matmul triple instead of per-rotation
+    row/column updates (the 6×6 p2plane solve sits on the fused loop's
+    critical path; the rotation chain measured ~2 ms of the ~4.3 ms
+    minimizer share per batch-iteration)."""
+    import numpy as np
+
+    p = A.shape[-1]
+    cs = []
+    for (i, j) in pairs:
+        aij = A[..., i, j]
+        aii = A[..., i, i]
+        ajj = A[..., j, j]
+        safe = jnp.where(aij == 0.0, 1.0, 2.0 * aij)
+        tau = (ajj - aii) / safe
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(jnp.logical_or(aij == 0.0, jnp.isnan(t)), 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        cs.append((c, t * c))
+
+    G = jnp.zeros_like(A)
+    for (i, j), (c, s) in zip(pairs, cs):
+        Dk = np.zeros((p, p), np.float32)
+        Dk[i, i] = Dk[j, j] = 1.0
+        Sk = np.zeros((p, p), np.float32)
+        Sk[i, j] = 1.0
+        Sk[j, i] = -1.0
+        G = G + c[..., None, None] * Dk + s[..., None, None] * Sk
+    A = jnp.swapaxes(G, -1, -2) @ A @ G
+    # exact zeros of the eliminated entries + re-symmetrize the pivots
+    zmask = np.ones((p, p), np.float32)
+    for (i, j) in pairs:
+        zmask[i, j] = zmask[j, i] = 0.0
+    A = A * zmask
+    V = V @ G
+    return A, V
+
+
 def eigh_jacobi(A, sweeps: int = 4):
     """Eigendecomposition of a small symmetric matrix (batched over leading
     dims): returns ``(w [..., p], V [..., p, p])`` with A ≈ V·diag(w)·Vᵀ.
     Eigenvalues are UNSORTED (use :func:`eigh3_sorted` for the ascending
-    convention)."""
+    convention). Even p runs parallel-Jacobi rounds (p−1 joint rotations
+    per sweep instead of p(p−1)/2 sequential ones — a ~3× shorter
+    sequential chain for the 6×6 loop solve); odd p keeps the sequential
+    cyclic order."""
     p = A.shape[-1]
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     V = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), A.shape)
-    for _ in range(sweeps):
-        for i in range(p - 1):
-            for j in range(i + 1, p):
-                A, V = _jacobi_rotation(A, V, i, j)
+    if p % 2 == 0 and p > 2:
+        rounds = _round_robin_pairs(p)
+        for _ in range(sweeps):
+            for pairs in rounds:
+                A, V = _jacobi_round(A, V, pairs)
+    else:
+        for _ in range(sweeps):
+            for i in range(p - 1):
+                for j in range(i + 1, p):
+                    A, V = _jacobi_rotation(A, V, i, j)
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     return w, V
 
