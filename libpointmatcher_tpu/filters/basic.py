@@ -268,22 +268,39 @@ class FixStepSamplingDataPointsFilter(DataPointsFilter):
             self.step = float(self.endStep)
         return cloud.with_mask(keep)
 
-    # the schedule is deterministic-geometric: step_i =
-    # clamp(startStep * stepMult^i, endStep) — a pure function of the
+    # the schedule is deterministic-geometric: a pure function of the
     # iteration counter, so the fused while_loop can evaluate it in-trace
-    # (reference applies step filters per iteration at ICP.cpp:373-379)
+    # (reference applies step filters per iteration at ICP.cpp:373-379).
+    # The per-iteration step factor comes from a HOST-precomputed table
+    # replaying filter()'s own f64 sequential-multiply-then-clamp
+    # arithmetic — an in-trace f32 power() diverged from it (e.g.
+    # startStep=25, stepMult=1.4, iteration 2: f64 gives int(49.00000...)
+    # = 49, f32 power gives floor(48.999996) = 48 — a different keep
+    # mask), and clamped endStep onto iteration 0 for endStep-beyond-
+    # startStep configs. Geometric schedules are eventually constant
+    # (clamped at endStep, or fixed at stepMult == 1), so a saturating
+    # 512-entry table is exact for ANY iteration count.
     SCHEDULE_TRACEABLE = True
+    _SCHED_LEN = 512
+
+    def _schedule_table(self):
+        import numpy as np
+
+        steps = np.empty((self._SCHED_LEN,), np.int32)
+        step = float(self.startStep)
+        delta = self.startStep * self.stepMult - self.startStep
+        for i in range(self._SCHED_LEN):
+            steps[i] = max(int(step), 1)  # filter()'s truncation
+            step *= self.stepMult
+            if delta < 0 and step < self.endStep:
+                step = float(self.endStep)
+            if delta > 0 and step > self.endStep:
+                step = float(self.endStep)
+        return steps
 
     def mask_at_iteration(self, cloud, iteration):
-        s = self.startStep * jnp.power(
-            jnp.float32(self.stepMult), iteration.astype(jnp.float32)
-        )
-        delta = self.startStep * self.stepMult - self.startStep
-        if delta < 0:
-            s = jnp.maximum(s, self.endStep)
-        elif delta > 0:
-            s = jnp.minimum(s, self.endStep)
-        istep = jnp.maximum(jnp.floor(s).astype(jnp.int32), 1)
+        table = jnp.asarray(self._schedule_table())
+        istep = table[jnp.clip(iteration, 0, self._SCHED_LEN - 1)]
         idx = jnp.cumsum(cloud.mask) - 1
         keep = (idx % istep) == 0
         return cloud.with_mask(keep)  # with_mask ANDs with the live mask

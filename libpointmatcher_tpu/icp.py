@@ -463,9 +463,13 @@ class ICP(ICPChainBase):
             # static tile assignment); None for matchers that need none.
             # Skipped under step filters: those change which points are
             # live each iteration, voiding a loop-start assignment.
-            matcher_aux = (
-                self.matcher.prepare_loop(reading) if fused else None
-            )
+            if fused:
+                matcher_aux = self.matcher.prepare_loop(reading)
+            else:
+                # the stepped driver never threads aux — stale per-
+                # registration matcher state must not leak into its step
+                matcher_aux = None
+                self.matcher.invalidate_loop_state()
             if fused:
                 T_iter, iters, code, stats = self._run_fused(
                     reading, reference, jax.random.fold_in(key, 3),
@@ -1203,16 +1207,29 @@ class ICPSequence(ICP):
         self._jit_cache = {}
 
     def warmup(self, num_points: int, batch: int = 8, lanes=None,
-               queue_len=None, coarse=None, seed: int = 0) -> float:
+               queue_len=None, coarse=None, seed: int = 0,
+               example: Optional[PointCloud] = None) -> float:
         """Precompile the serving program(s) for scans of ``num_points``
         raw rows, so the first real scan batch never eats the multi-minute
         relay first-compile stall mid-stream (LARGE_r04 measured a cold
         ``set_map``+serve chain at up to 135 s; warm 1-3 s — the
-        persistent cache keys on shapes, which this call exercises with
-        synthetic scans drawn inside the map's bounding box). Warms the
-        batched path at ``batch``; with ``queue_len``/``lanes`` also the
-        continuous-batching queue driver (and its coarse-to-fine phases
-        when ``coarse`` is given). Returns the wall seconds spent.
+        persistent cache keys on shapes, which this call exercises). Warms
+        the batched path at ``batch``; with ``queue_len``/``lanes`` also
+        the continuous-batching queue driver (queue lengths are bucketed,
+        so the compiled program covers nearby real queue sizes too) and
+        its coarse-to-fine phases when ``coarse`` is given. Returns the
+        wall seconds spent.
+
+        Pass ``example`` (a representative real scan) whenever the
+        reading chain contains CONTENT-DEPENDENT filters (bounding-box,
+        density, shadow, distance cuts…): the serving compaction cap is
+        probed once per (shape, config) from the first scan seen, and a
+        synthetic probe's keep-rate could pin a cap real scans overflow
+        (overflow is surfaced in ``info['compact_overflow']``, never
+        silent, but the overflowing rows would be dropped). Without
+        ``example`` the probe uses synthetic points drawn uniformly in
+        the map's bounding box — exact for content-independent chains
+        like the default RandomSampling one.
 
         The reference has no analogue (C++ has no compile step); this is
         the TPU-native counterpart of ICPSequence::setMap's index build
@@ -1221,15 +1238,18 @@ class ICPSequence(ICP):
         t0 = time.perf_counter()
         import numpy as _np
 
-        m = self.get_prefiltered_internal_map()
-        pts, mask = jax.device_get((m.points, m.mask))
-        pts = _np.asarray(pts)[_np.asarray(mask, bool)]
-        lo, hi = pts.min(axis=0), pts.max(axis=0)
-        rng = _np.random.default_rng(seed)
-        fake = rng.uniform(lo, hi, size=(int(num_points), m.dim)).astype(
-            _np.float32
-        )
-        scan = PointCloud(jnp.asarray(fake))
+        if example is not None:
+            scan = example
+        else:
+            m = self.get_prefiltered_internal_map()
+            pts, mask = jax.device_get((m.points, m.mask))
+            pts = _np.asarray(pts)[_np.asarray(mask, bool)]
+            lo, hi = pts.min(axis=0), pts.max(axis=0)
+            rng = _np.random.default_rng(seed)
+            fake = rng.uniform(
+                lo, hi, size=(int(num_points), m.dim)
+            ).astype(_np.float32)
+            scan = PointCloud(jnp.asarray(fake))
         from .parallel.batch import register_batch_to_map
 
         register_batch_to_map(self, [scan] * int(batch), seed=seed)

@@ -110,6 +110,11 @@ class Matcher(Parametrizable):
         the matcher needs no loop state. Default: no loop state."""
         return None
 
+    def invalidate_loop_state(self):
+        """Engine hook for drivers that do NOT call :meth:`prepare_loop`
+        (the stepped driver): drop any per-registration search state a
+        previous registration left behind. Default: nothing to drop."""
+
     def serving_loop_aux(self, reference) -> bool:
         """Called once per serving batch with the prefiltered internal map:
         True routes serving through the aux path (per-scan
@@ -828,7 +833,7 @@ class KDTreeVarDistMatcher(Matcher):
         Returns None always — the culled search keys off matcher state
         inside :meth:`find_closests_in`."""
         if self._ref_host is None:
-            self._vd_grid = None
+            self._drop_vd_grid()
             return None
         import math
 
@@ -840,12 +845,12 @@ class KDTreeVarDistMatcher(Matcher):
                 reading.get_descriptor(self.maxDistField)[:, 0])
             mask = jax.device_get(reading.mask)
         except Exception:
-            self._vd_grid = None
+            self._drop_vd_grid()
             return None
         rmax = float(np.max(np.where(np.asarray(mask), radius, 0.0),
                             initial=0.0))
         if not np.isfinite(rmax) or rmax <= 0.0:
-            self._vd_grid = None
+            self._drop_vd_grid()
             return None
         # quantize UP on a 1.25 ladder: any cell edge >= the true max
         # radius keeps the 3^d-neighborhood search exact (each point's own
@@ -866,6 +871,29 @@ class KDTreeVarDistMatcher(Matcher):
         )
         self.cache_token = KDTreeVarDistMatcher._vd_counter
         return None
+
+    def _drop_vd_grid(self):
+        """Clear the culled grid AND bump the token: find_closests_in
+        trusts matcher state under a shape-only check, so a compiled loop
+        with the old grid closed over must never be reused once the
+        intent is the dense sweep (round-5 review finding: the silent
+        bail-outs left the stale program live)."""
+        if self._vd_grid is not None:
+            self._vd_grid = None
+            self._vd_rmax = None
+            self._vd_ref_shape = None
+            KDTreeVarDistMatcher._vd_counter = (
+                getattr(KDTreeVarDistMatcher, "_vd_counter", 0) + 1
+            )
+            self.cache_token = KDTreeVarDistMatcher._vd_counter
+
+    def invalidate_loop_state(self):
+        """Engine hook (stepped driver): prepare_loop is not called
+        there, so stale per-registration search state from an earlier
+        fused registration must be dropped — the stepped step would
+        otherwise run the culled search with the previous reading's
+        radii (silently missing matches beyond the old grid edge)."""
+        self._drop_vd_grid()
 
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:

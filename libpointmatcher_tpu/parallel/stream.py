@@ -123,13 +123,13 @@ def register_queue_to_map(
     reproduces the batched path's poses bit for bit when indices align).
     """
     assert seq.has_map(), "set_map first"
-    Q = len(readings)
+    Q_real = len(readings)
     # matcher serving state must be (re)built against the current map
     # before eligibility is judged (mirrors register_batch_to_map)
     reference = seq.get_prefiltered_internal_map()
     seq.matcher.serving_loop_aux(reference)
     mode = _queue_mode(seq)
-    if not mode or Q < lanes or Q == 0:
+    if not mode or Q_real == 0:
         out = register_batch_to_map(
             seq, readings, T_inits, seed, compact_rows=compact_rows,
             block=block,
@@ -145,7 +145,20 @@ def register_queue_to_map(
     dim = readings[0].dim
     Trm = jnp.asarray(seq._T_refIn_refMean)
     if T_inits is None:
-        T_inits = [np.eye(dim + 1, dtype=np.float32)] * Q
+        T_inits = [np.eye(dim + 1, dtype=np.float32)] * Q_real
+    # bucket the queue length on the shape ladder (min = lanes): the
+    # compiled programs are keyed on the PADDED length, so a 37-scan
+    # queue reuses the 48-bucket program a 40-scan warmup compiled —
+    # pad slots replay the last scan but are never scheduled (the
+    # traced q_real gates refills), so they cost prep compute only
+    # (round-5 review finding #4: exact-Q keys made warmup length-exact)
+    from ..cloud import bucket_size
+
+    Q = max(int(bucket_size(max(Q_real, lanes), granule=8)), lanes)
+    readings = list(readings) + [readings[-1]] * (Q - Q_real)
+    T_inits = list(T_inits) + [
+        np.eye(dim + 1, dtype=np.float32)
+    ] * (Q - Q_real)
     T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
 
     pool_in = _stack_clouds_padded(readings)
@@ -199,6 +212,7 @@ def register_queue_to_map(
         seq._jit_cache[cache_key] = runners
     prep_fn, queue_fn, queue_coarse_fn = runners
 
+    q_real = jnp.int32(Q_real)
     pool, pool_coarse, T_rmd_b, overflow = prep_fn(
         pool_in, T_inits_b, Trm, jnp.int32(seed)
     )
@@ -207,10 +221,10 @@ def register_queue_to_map(
     )
     if coarse is not None:
         T0_pool, _, _, _, _ = queue_coarse_fn(
-            pool_coarse, pool_aux, T0_pool, ref_loop, shared_aux
+            pool_coarse, pool_aux, T0_pool, ref_loop, shared_aux, q_real
         )
     out_T_loop, out_iters, out_code, out_stats, out_motion = queue_fn(
-        pool, pool_aux, T0_pool, ref_loop, shared_aux
+        pool, pool_aux, T0_pool, ref_loop, shared_aux, q_real
     )
     # frame composition on device, one readback
     T_out = jnp.einsum("ij,qjk,qkl->qil", Trm, out_T_loop, T_rmd_b)
@@ -222,29 +236,29 @@ def register_queue_to_map(
              out_stats.residual, overflow, out_motion)
         )
         info = {
-            "iterations": np.asarray(it),
-            "codes": np.asarray(cd),
-            "point_used_ratio": np.asarray(pur),
-            "weighted_point_used_ratio": np.asarray(wpur),
-            "residual": np.asarray(res),
-            "compact_overflow": np.asarray(ovf),
+            "iterations": np.asarray(it)[:Q_real],
+            "codes": np.asarray(cd)[:Q_real],
+            "point_used_ratio": np.asarray(pur)[:Q_real],
+            "weighted_point_used_ratio": np.asarray(wpur)[:Q_real],
+            "residual": np.asarray(res)[:Q_real],
+            "compact_overflow": np.asarray(ovf)[:Q_real],
         }
         # motionBound invariant guard per scan (the batch path's audit;
         # bounded-search exactness contract, MatchersImpl.cpp:86-101)
         bound = getattr(seq.matcher, "motionBound", None)
         if tile and bound is not None and mot is not None:
-            exceeded = np.asarray(mot) > float(bound)
+            exceeded = np.asarray(mot)[:Q_real] > float(bound)
             info["motion_bound_exceeded"] = exceeded
             if exceeded.any():
                 from ..loggers import log_warning
 
                 log_warning(
-                    f"register_queue_to_map: {int(exceeded.sum())}/{Q} "
-                    f"scans exceeded motionBound {float(bound):.3f} — "
-                    f"matches beyond the pre-assigned cell neighborhoods "
-                    f"may have been missed"
+                    f"register_queue_to_map: {int(exceeded.sum())}/"
+                    f"{Q_real} scans exceeded motionBound "
+                    f"{float(bound):.3f} — matches beyond the "
+                    f"pre-assigned cell neighborhoods may have been missed"
                 )
-        return np.asarray(T), info
+        return np.asarray(T)[:Q_real], info
 
     if not block:
         return PendingRegistration(finish)
@@ -365,7 +379,8 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             drift = jnp.linalg.norm(R @ c + t - c)
             return sigma * r_local + drift
 
-        def queue_run(pool, pool_aux, T0_pool, reference, shared_aux):
+        def queue_run(pool, pool_aux, T0_pool, reference, shared_aux,
+                      q_real):
             dim = reference.dim
             has_per = bool(tile)
             if has_per:
@@ -378,7 +393,8 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             else:
                 aux_axes = None
 
-            # initial lane assignment: scans 0..L-1 (host asserts Q >= L).
+            # initial lane assignment: scans 0..L-1 (the padded pool
+            # guarantees Q >= L; lanes beyond q_real start inactive).
             # Lane readings and per-scan aux are NOT carried: the body
             # indexes the HBM pools by lane_scan every iteration — a
             # while_loop carry would double-buffer (copy) the full lane
@@ -386,7 +402,10 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             # lockstep batch on the tile path (~190 MB of candidate
             # tables per copy at the 1e5-map shape); the per-iteration
             # pool gather is lanes x scan-bytes only.
-            lane_scan0 = jnp.arange(L, dtype=jnp.int32)
+            lane_scan0 = jnp.where(
+                jnp.arange(L, dtype=jnp.int32) < q_real,
+                jnp.arange(L, dtype=jnp.int32), -1,
+            )
             lane_reading0 = jax.tree_util.tree_map(
                 lambda x: x[:L], pool
             )
@@ -485,7 +504,7 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
                 # refill: order simultaneous finishers by lane rank
                 rank = jnp.cumsum(finished.astype(jnp.int32)) - 1
                 new_scan = next_idx + rank
-                avail = new_scan < Q
+                avail = new_scan < q_real  # pad slots never scheduled
                 swap = jnp.logical_and(finished, avail)
                 lane_scan = jnp.where(
                     finished,

@@ -67,8 +67,6 @@ def _jacobi_rotation(A, V, i, j):
 def _round_robin_pairs(p):
     """Tournament schedule: p−1 rounds of p/2 DISJOINT index pairs
     covering every (i, j) exactly once (p even)."""
-    import numpy as np
-
     others = list(range(1, p))
     rounds = []
     for _ in range(p - 1):
@@ -78,7 +76,6 @@ def _round_robin_pairs(p):
             for k in range(p // 2)
         ))
         others = [others[-1]] + others[:-1]
-    del np
     return rounds
 
 
@@ -89,8 +86,7 @@ def _jacobi_round(A, V, pairs):
     each pivot (aii, ajj, aij) is untouched by the others — but the
     sequential op chain is one matmul triple instead of per-rotation
     row/column updates (the 6×6 p2plane solve sits on the fused loop's
-    critical path; the rotation chain measured ~2 ms of the ~4.3 ms
-    minimizer share per batch-iteration)."""
+    critical path)."""
     import numpy as np
 
     p = A.shape[-1]

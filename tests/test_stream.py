@@ -146,3 +146,88 @@ def test_queue_tile_matcher_matches_batch(ref3d, data3d):
         ib["motion_bound_exceeded"], iq["motion_bound_exceeded"]
     )
     assert not iq["motion_bound_exceeded"].any()
+
+
+@pytest.mark.slow
+def test_queue_length_bucketing_shares_programs(seq_and_scans):
+    """Queue lengths bucket onto the shape ladder: nearby lengths (and
+    lengths below the lane count) reuse ONE compiled program, and the
+    results still match the batch path per scan (round-5 review #4/#5)."""
+    seq, scans = seq_and_scans
+    register_queue_to_map(seq, scans[:9], seed=0, lanes=4)
+    n = len(seq._jit_cache)
+    T_q, iq = register_queue_to_map(seq, scans[:10], seed=0, lanes=4)
+    assert len(seq._jit_cache) == n  # same bucket (12) → no new compile
+    assert T_q.shape == (10, 4, 4)
+    Tb, ib = register_batch_to_map(seq, scans[:10], seed=0)
+    np.testing.assert_array_equal(Tb, T_q)
+    # short queue (fewer scans than lanes) runs natively
+    T_s, is_ = register_queue_to_map(seq, scans[:3], seed=0, lanes=4)
+    Tb3, _ = register_batch_to_map(seq, scans[:3], seed=0)
+    np.testing.assert_array_equal(Tb3, T_s)
+
+
+def test_fixstep_schedule_table_matches_host_filter():
+    """The fused schedule table must replay filter()'s own f64
+    sequential-multiply arithmetic exactly — including non-dyadic
+    stepMult (f32 power diverged: 25*1.4^2 → 48 vs 49) and
+    endStep-beyond-startStep growth (round-5 review #3)."""
+    from libpointmatcher_tpu.filters.basic import (
+        FixStepSamplingDataPointsFilter,
+    )
+
+    for params in [
+        {"startStep": "25", "endStep": "1", "stepMult": "1.4"},
+        {"startStep": "25", "endStep": "3", "stepMult": "0.7"},
+        {"startStep": "3", "endStep": "33", "stepMult": "1.3"},
+        {"startStep": "10", "endStep": "10", "stepMult": "1.0"},
+        {"startStep": "7", "endStep": "2", "stepMult": "0.33"},
+    ]:
+        f = FixStepSamplingDataPointsFilter(dict(params))
+        table = f._schedule_table()
+        g = FixStepSamplingDataPointsFilter(dict(params))
+        g.init()
+        for i in range(40):
+            expect = max(int(g.step), 1)
+            # replicate filter()'s advance without building clouds
+            delta = g.startStep * g.stepMult - g.startStep
+            g.step *= g.stepMult
+            if delta < 0 and g.step < g.endStep:
+                g.step = float(g.endStep)
+            if delta > 0 and g.step > g.endStep:
+                g.step = float(g.endStep)
+            assert table[i] == expect, (params, i, table[i], expect)
+
+
+def test_var_dist_stale_grid_invalidation(monkeypatch):
+    """A bail-out prepare_loop (or the stepped driver) must never leave a
+    previous registration's culled grid live: the compiled loop has the
+    grid closed over, so the token must bump whenever the grid state
+    changes to 'dense intended' (round-5 review #1)."""
+    from libpointmatcher_tpu.matchers import KDTreeVarDistMatcher
+    from libpointmatcher_tpu import MatcherRegistrar as Reg
+
+    monkeypatch.setattr(KDTreeVarDistMatcher, "CULL_MIN_MAP", 10)
+    rng = np.random.default_rng(2)
+    ref = pm.PointCloud.from_numpy(
+        rng.uniform(-2, 2, size=(600, 3)).astype(np.float32))
+    reading = pm.PointCloud.from_numpy(
+        rng.uniform(-2, 2, size=(200, 3)).astype(np.float32))
+    reading = reading.with_descriptor(
+        "maxSearchDist", np.full(reading.num_points, 0.8, np.float32))
+    m = Reg.create("KDTreeVarDistMatcher", {"knn": "1"})
+    m.init(ref)
+    m.prepare_loop(reading)
+    assert m._vd_grid is not None
+    t1 = m.cache_token
+    # reading without the radius descriptor → dense intended → token bump
+    bare = pm.PointCloud.from_numpy(
+        rng.uniform(-2, 2, size=(200, 3)).astype(np.float32))
+    m.prepare_loop(bare)
+    assert m._vd_grid is None and m.cache_token != t1
+    # rebuild, then the stepped-driver hook must also clear + bump
+    m.prepare_loop(reading)
+    t2 = m.cache_token
+    assert m._vd_grid is not None
+    m.invalidate_loop_state()
+    assert m._vd_grid is None and m.cache_token != t2
