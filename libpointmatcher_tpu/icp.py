@@ -1177,9 +1177,21 @@ class ICPSequence(ICP):
         super().__init__()
         self._map: Optional[PointCloud] = None
         self._T_refIn_refMean = None
+        self._T_refIn_refMean_host = None
 
     def has_map(self) -> bool:
         return self._map is not None
+
+    def trm_host(self) -> np.ndarray:
+        """Host float64 copy of ``_T_refIn_refMean``, cached per map —
+        the serving drivers need it every call for host-side pose
+        composition, and an uncached ``device_get`` is a ~25 ms relay
+        round trip per batch."""
+        if self._T_refIn_refMean_host is None:
+            self._T_refIn_refMean_host = np.asarray(
+                jax.device_get(self._T_refIn_refMean), np.float64
+            )
+        return self._T_refIn_refMean_host
 
     def set_map(self, cloud: PointCloud, seed: int = 0) -> bool:
         """Center + filter the map and init the matcher
@@ -1195,6 +1207,7 @@ class ICPSequence(ICP):
         # coarse 1-1.5-2 ladder wastes up to 33% of that
         cloud = cloud.compact(granule=512, ladder=False)
         cloud, self._T_refIn_refMean = _center_cloud(cloud)
+        self._T_refIn_refMean_host = None
         self._map = cloud
         self.matcher.init(cloud)
         self.prefiltered_reference_pts_count = cloud.count_host()
@@ -1204,6 +1217,7 @@ class ICPSequence(ICP):
     def clear_map(self) -> None:
         self._map = None
         self._T_refIn_refMean = None
+        self._T_refIn_refMean_host = None
         self._jit_cache = {}
 
     def warmup(self, num_points: int, batch: int = 8, lanes=None,

@@ -614,6 +614,26 @@ class CellGridMatcher(Matcher):
         return int(np.where(hit, counts[pos], 0).sum())
 
 
+def tile_aux_to_device(per_scan, shared):
+    """Convert :meth:`BlockGridMatcher.prepare_loop_host`'s HOST-form aux
+    into the traced form :meth:`BlockGridMatcher.find_closests_in`
+    consumes: gather the loop-static candidate tables from the resident
+    sub-block tables. Works eagerly (one dispatch — the one-shot engine
+    path) and under trace (the serving runners call it INSIDE their jitted
+    programs, so a batch/queue of scans costs zero per-scan dispatches)."""
+    from .ops.tilesweep import _gather_candidates
+
+    cand_t, pen, cid = _gather_candidates(
+        shared["sub_pts"], shared["sub_ids"], jnp.asarray(per_scan["blocks"])
+    )
+    return {
+        "q_rows": jnp.asarray(per_scan["q_rows"]),
+        "cand_t": cand_t, "pen": pen, "cid": cid,
+        "parent": jnp.asarray(per_scan["parent"]),
+        "vrows": jnp.asarray(per_scan["vrows"]),
+    }
+
+
 @MatcherRegistrar.register
 class BlockGridMatcher(Matcher):
     """Bounded-radius k-NN (k ≤ 16) via the tile sweep — the large-cloud /
@@ -694,31 +714,40 @@ class BlockGridMatcher(Matcher):
         if out is None:
             return None
         per_scan, shared = out
-        return {**per_scan, **shared}
+        # one-shot engine path: convert to the traced form here (one
+        # eager gather dispatch — amortized over the whole registration)
+        return tile_aux_to_device(per_scan, shared)
 
     def prepare_loop_host(self, pts, mask, pad_tiles_to=0, pad_blocks_to=0):
+        """Host-side per-registration tile assignment.
+
+        Returns ``(per_scan, shared)`` in HOST form: ``per_scan`` holds
+        numpy ``q_rows``/``blocks``/``parent``/``vrows`` (the batch and
+        queue drivers pad + stack many scans host-side and ship ONE
+        device transfer), ``shared`` holds the device-resident sub-block
+        tables. The candidate tables are gathered IN-PROGRAM by the
+        serving runners (:func:`tile_aux_to_device` under trace) — the
+        former per-scan eager ``gather_candidates`` dispatches measured
+        ~250 ms/batch of relay overhead at the 4e5-map serving shape
+        (tools/tile_phase_profile.py, round 5)."""
         if self._blocks is None:
             return None
-        from .ops.tilesweep import assign_tiles, gather_candidates
+        from .ops.tilesweep import assign_tiles
 
         ta = assign_tiles(pts, mask, self._blocks,
                           tile_q=int(self.tileQueries),
                           pad_tiles_to=pad_tiles_to,
                           pad_blocks_to=pad_blocks_to,
-                          block_cap=int(self.blockCap))
+                          block_cap=int(self.blockCap),
+                          to_device=False)
         # actual candidate pairs this assignment sweeps per iteration — the
         # whole point of the tile sweep is touching fewer pairs than N·M,
         # and the stat must say so (reference: MatchersImpl.cpp:86-101)
         self._loop_touched = ta.touched
-        # candidate tables are loop-static: gather them ONCE here (device)
-        # so the per-iteration sweep is gather-free. Everything the traced
-        # path needs travels as jit arguments — no arrays baked into the
-        # program as constants.
-        cand_t, pen, cid = gather_candidates(self._blocks, ta.blocks)
         return (
-            {"q_rows": ta.q_rows, "cand_t": cand_t, "pen": pen, "cid": cid,
+            {"q_rows": ta.q_rows, "blocks": ta.blocks,
              "parent": ta.parent, "vrows": ta.vrows},
-            {},
+            {"sub_pts": self._blocks.pts, "sub_ids": self._blocks.ids},
         )
 
     def touched_per_iteration(self, reading, reference) -> int:
@@ -730,11 +759,15 @@ class BlockGridMatcher(Matcher):
     def find_closests_in(self, reading: PointCloud, ref: PointCloud,
                          aux=None) -> Matches:
         if aux is not None and tuple(ref.points.shape) == self._ref_shape:
+            # aux without "q_rows" means the serving runner permuted the
+            # reading into TILE ORDER at prep (q-gather/scatter become
+            # reshapes; see tile_nn1_from_candidates q_rows=None)
+            q_rows = aux.get("q_rows")
             if self.knn > 1:
                 from .ops.tilesweep import tile_knnk_from_candidates
 
                 dk, ik = tile_knnk_from_candidates(
-                    reading.points, reading.mask, aux["q_rows"],
+                    reading.points, reading.mask, q_rows,
                     aux["cand_t"], aux["pen"], aux["cid"],
                     float(self.maxDist), parent=aux["parent"],
                     vrows=aux["vrows"], k=int(self.knn),
@@ -743,7 +776,7 @@ class BlockGridMatcher(Matcher):
             from .ops.tilesweep import tile_nn1_from_candidates
 
             d1, i1 = tile_nn1_from_candidates(
-                reading.points, reading.mask, aux["q_rows"], aux["cand_t"],
+                reading.points, reading.mask, q_rows, aux["cand_t"],
                 aux["pen"], aux["cid"], float(self.maxDist),
                 parent=aux["parent"], vrows=aux["vrows"],
             )

@@ -171,7 +171,8 @@ def build_sub_blocks(points: np.ndarray, mask: np.ndarray,
 
 def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
                  tile_q: int = 256, pad_tiles_to: int = 0,
-                 pad_blocks_to: int = 0, block_cap: int = 1024) -> TileAssign:
+                 pad_blocks_to: int = 0, block_cap: int = 1024,
+                 to_device: bool = True) -> TileAssign:
     """Host assignment (loop start, static for the whole while_loop).
 
     Valid queries are sorted by their (unclamped) cell id — spatial
@@ -190,7 +191,13 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     101M padded cells without the split vs 31M with cap=1024, vs 13.8M
     actually touched; tools/tile_union_analysis.py). Exactness is
     preserved by min-merging virtual-tile results per query row
-    (:func:`tile_nn1_from_candidates`)."""
+    (:func:`tile_nn1_from_candidates`).
+
+    ``to_device=False`` keeps the output arrays as host numpy: the batch
+    and queue serving drivers pad + stack many assignments host-side and
+    ship ONE transfer per call — per-scan eager device conversion here
+    measured ~250 ms/batch of relay dispatch overhead at the 4e5-map
+    serving shape (tools/tile_phase_profile.py, round 5)."""
     pts = np.asarray(query, np.float64)
     d = pts.shape[1]
     S = int(sub.pts.shape[0]) - 1                 # sentinel slot
@@ -200,12 +207,13 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     if len(keep) == 0 or len(sub.ulins) == 0:
         T = max(16, pad_tiles_to)
         B = max(16, pad_blocks_to)
+        conv = jnp.asarray if to_device else np.asarray
         return TileAssign(
-            q_rows=jnp.full((T, tile_q), -1, jnp.int32),
-            blocks=jnp.full((T, B), S, jnp.int32),
+            q_rows=conv(np.full((T, tile_q), -1, np.int32)),
+            blocks=conv(np.full((T, B), S, np.int32)),
             touched=0,
-            parent=jnp.zeros((T,), jnp.int32),
-            vrows=jnp.full((1, T), T - 1, jnp.int32),
+            parent=conv(np.zeros((T,), np.int32)),
+            vrows=conv(np.full((1, T), T - 1, np.int32)),
         )
 
     coords = np.floor((pts[keep] - sub.origin) / sub.cell_size).astype(np.int64)
@@ -321,6 +329,14 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     last = vb + np.maximum(k_t, 1) - 1
     vrows = np.where(vcand <= last[None, :], vcand, Tv)
 
+    if not to_device:
+        return TileAssign(
+            q_rows=np.asarray(q_rows, np.int32),
+            blocks=np.asarray(blocks, np.int32),
+            touched=touched,
+            parent=np.asarray(parent, np.int32),
+            vrows=np.asarray(vrows, np.int32),
+        )
     return TileAssign(
         q_rows=jnp.asarray(q_rows, jnp.int32),
         blocks=jnp.asarray(blocks, jnp.int32),
@@ -590,6 +606,13 @@ def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
     element-granularity op left is the final unique-index scatter of
     [Tp·TQ] results onto reading rows.
 
+    ``q_rows=None`` means the reading is ALREADY IN TILE ORDER (the
+    serving runners permute it once at prep): row ``t·TQ + r`` IS parent
+    tile ``t``'s query ``r``, so the per-iteration query gather becomes a
+    reshape and the result scatter a reshape — the q-gather alone
+    measured ~4 ms/batch-iter at the 4e5 serving shape (round 5).
+    ``Tp`` then comes from ``vrows``'s tile axis and ``TQ = n // Tp``.
+
     Without the parent structure (``parent=None``; the sharded path,
     which re-slices the virtual-tile axis across devices), ``q_rows``
     is taken per virtual tile — duplicates allowed — and the merge is a
@@ -598,9 +621,16 @@ def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
     from .dispatch import use_pallas
 
     n, d = points.shape
-    Tp, TQ = q_rows.shape
-    q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
-    q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
+    if q_rows is None:
+        assert parent is not None and vrows is not None
+        Tp = vrows.shape[1]
+        TQ = n // Tp
+        q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
+        q = q.at[:, :, :d].set(points.reshape(Tp, TQ, d))
+    else:
+        Tp, TQ = q_rows.shape
+        q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
+        q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
     if parent is not None:
         q = q[parent]                                   # [Tv, TQ, DPAD]
 
@@ -610,6 +640,18 @@ def tile_nn1_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
     bi = jnp.where(jnp.isfinite(bd), bi, -1)
 
     big = jnp.int32(np.iinfo(np.int32).max)
+    if q_rows is None:
+        # tile-ordered reading: merge virtual tiles, then reshape — no
+        # scatter (pad/invalid rows are handled by the qmask mask below)
+        md, mi = bd[vrows[0]], bi[vrows[0]]             # [Tp, TQ]
+        for j in range(1, vrows.shape[0]):
+            md, mi = _combine_min(md, mi, bd[vrows[j]], bi[vrows[j]])
+        out_d = md.reshape(n)
+        out_i = mi.reshape(n)
+        out_d = jnp.where(qmask, out_d, jnp.inf)
+        out_i = jnp.where(qmask, out_i, -1)
+        return out_d, out_i
+
     flat = q_rows.reshape(-1)
     ok = flat >= 0
     idx = jnp.where(ok, flat, n)
@@ -803,13 +845,20 @@ def tile_knnk_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
     matcher contract has knn as a free parameter, MatchersImpl.h:69-120).
     Returns ``(dists2 [N, k], ids [N, k])`` ascending per row, (+inf, -1)
     beyond the radius / missing. Requires the parent structure (the
-    engine path); the sharded tile path stays 1-NN."""
+    engine path); the sharded tile path stays 1-NN. ``q_rows=None``:
+    tile-ordered reading (see :func:`tile_nn1_from_candidates`)."""
     from .dispatch import use_pallas
 
     n, d = points.shape
-    Tp, TQ = q_rows.shape
-    q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
-    q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
+    if q_rows is None:
+        Tp = vrows.shape[1]
+        TQ = n // Tp
+        q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
+        q = q.at[:, :, :d].set(points.reshape(Tp, TQ, d))
+    else:
+        Tp, TQ = q_rows.shape
+        q = jnp.zeros((Tp, TQ, _DPAD), jnp.float32)
+        q = q.at[:, :, :d].set(points[jnp.maximum(q_rows, 0)])
     q = q[parent]                                       # [Tv, TQ, DPAD]
 
     sweep = _tile_sweep_pallas_k if use_pallas() else _tile_sweep_xla_k
@@ -823,17 +872,20 @@ def tile_knnk_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
     for j in range(1, vrows.shape[0]):
         md, mi = _merge_sorted_k(md, mi, bd[vrows[j]], bi[vrows[j]])
 
-    flat = q_rows.reshape(-1)
-    ok = flat >= 0
-    idx = jnp.where(ok, flat, n)
     upd_d = jnp.swapaxes(md, 1, 2).reshape(-1, k)       # [Tp·TQ, k]
     upd_i = jnp.swapaxes(mi, 1, 2).reshape(-1, k)
-    out_d = jnp.full((n, k), jnp.inf, jnp.float32).at[idx].set(
-        jnp.where(ok[:, None], upd_d, jnp.inf), mode="drop",
-    )
-    out_i = jnp.full((n, k), -1, jnp.int32).at[idx].set(
-        jnp.where(ok[:, None], upd_i, -1), mode="drop",
-    )
+    if q_rows is None:
+        out_d, out_i = upd_d, upd_i
+    else:
+        flat = q_rows.reshape(-1)
+        ok = flat >= 0
+        idx = jnp.where(ok, flat, n)
+        out_d = jnp.full((n, k), jnp.inf, jnp.float32).at[idx].set(
+            jnp.where(ok[:, None], upd_d, jnp.inf), mode="drop",
+        )
+        out_i = jnp.full((n, k), -1, jnp.int32).at[idx].set(
+            jnp.where(ok[:, None], upd_i, -1), mode="drop",
+        )
     out_d = jnp.where(qmask[:, None], out_d, jnp.inf)
     out_i = jnp.where(qmask[:, None], out_i, -1)
     return out_d, out_i

@@ -69,8 +69,50 @@ def _stack_clouds_padded(clouds: Sequence[PointCloud],
     """Pad to a common bucketed row count and stack — zero host syncs
     (row counts come from static shapes; padded rows carry mask=False).
     ``min_rows`` floors the bucket so independent batches of a sweep can
-    share one compiled program (the eval ladder)."""
+    share one compiled program (the eval ladder).
+
+    Clouds carrying a host cache (the usual serving case: scans arrive
+    via ``from_numpy``/IO) are padded and stacked in numpy: the batch
+    then rides into the serving program as plain arrays (transferred at
+    call time) instead of ~5 eager pad + stack dispatches PER SCAN
+    through the relay (part of the per-batch overhead measured in
+    tools/tile_phase_profile.py)."""
     cap = bucket_size(max(min_rows, max(c.num_points for c in clouds)))
+
+    if all(getattr(c, "_host_cache", None) is not None for c in clouds):
+        pts0, _, descs0, tms0 = clouds[0]._host_cache
+        b = len(clouds)
+        pts = np.zeros((b, cap, pts0.shape[1]), np.float32)
+        mask = np.zeros((b, cap), bool)
+        descs = {k: np.zeros((b, cap, v.shape[1]), v.dtype)
+                 for k, v in descs0.items()}
+        tms = {k: np.zeros((b, cap, v.shape[1]), v.dtype)
+               for k, v in tms0.items()}
+        ok = True
+        for i, c in enumerate(clouds):
+            p, m, ds, ts = c._host_cache
+            if (p.shape[0] > cap or set(ds) != set(descs)
+                    or set(ts) != set(tms)
+                    or any(ds[k].shape[1] != descs[k].shape[2] for k in ds)
+                    or any(ts[k].shape[1] != tms[k].shape[2] for k in ts)):
+                ok = False
+                break
+            n = p.shape[0]
+            pts[i, :n] = p
+            mask[i, :n] = m
+            for k in ds:
+                descs[k][i, :n] = ds[k]
+            for k in ts:
+                tms[k][i, :n] = ts[k]
+        if ok:
+            obj = object.__new__(PointCloud)
+            obj.points = pts
+            obj.mask = mask
+            obj.descriptors = descs
+            obj.times = tms
+            obj._count_cache = None
+            obj._host_cache = None
+            return obj
 
     def pad(x):
         n = x.shape[0]
@@ -440,7 +482,7 @@ def register_batch_to_map(
         reference = shard_cloud(reference, mesh, map_axis)
     b = len(readings)
     dim = readings[0].dim
-    Trm = jnp.asarray(seq._T_refIn_refMean)
+    Trm = seq._T_refIn_refMean
     if T_inits is None:
         T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
 
@@ -606,51 +648,45 @@ def _serve_compact_cap(seq, readings, rows, seed, compact_rows="auto"):
     return cap
 
 
-def _pad_tile_aux(pers):
-    """Align per-scan tile-assignment aux shapes (tile/candidate counts
-    differ per scan): pad tiles with -1 query rows (scatter-dropped) and
-    candidate slots with +inf penalty / -1 ids — exact by construction.
-    Parent (query) tiles and virtual (candidate) tiles pad independently.
-    Shared by the batched and queue serving drivers."""
-    from ..ops.tilesweep import _CID_ROW, _PEN_ROW
+def _pad_tile_aux_np(pers, sentinel: int):
+    """Align + stack per-scan HOST-form tile aux (tile/candidate counts
+    differ per scan) — pure numpy, zero device dispatches (the former
+    device-side padding was ~50 eager relay round-trips per batch;
+    tools/tile_phase_profile.py, round 5).
 
+    ``sentinel`` is the reserved all-pad sub-block slot (S): padded
+    candidate slots point at it, so their gathered pen/cid read +inf/−1 —
+    exact by construction. Padded parent tiles carry −1 query rows
+    (scatter-dropped). Extra merge-depth rows and padded vrows columns
+    point at virtual tile ``max_tv − 1``, which is all-pad for EVERY scan
+    (assign_tiles reserves ≥1 unwritten trailing vtile per scan and this
+    padding only appends more) — strictly a no-op merge, which also keeps
+    k>1 lists duplicate-free where edge-replication of a full parent's
+    last row would have re-merged its final vtile.
+
+    Returns a dict of stacked ``[b, ...]`` numpy arrays. Shared by the
+    batched and queue serving drivers."""
+    b = len(pers)
+    tq = pers[0]["q_rows"].shape[1]
     max_tp = max(int(p["q_rows"].shape[0]) for p in pers)
-    max_tv = max(int(p["cand_t"].shape[0]) for p in pers)
-    max_b = max(int(p["cand_t"].shape[2]) for p in pers)
+    max_tv = max(int(p["blocks"].shape[0]) for p in pers)
+    max_b = max(int(p["blocks"].shape[1]) for p in pers)
     max_k = max(int(p["vrows"].shape[0]) for p in pers)
 
-    def pad_per(p):
-        dtp = max_tp - p["q_rows"].shape[0]
-        dtv = max_tv - p["cand_t"].shape[0]
-        dm = max_b - p["cand_t"].shape[2]
-        dk = max_k - p["vrows"].shape[0]
-        m0 = p["cand_t"].shape[2]
-        # candidate-slot padding must carry +inf penalty / -1 id in the
-        # table's fused pen/cid rows (zero-padded slots would read as a
-        # real candidate at the origin)
-        cand_t = jnp.pad(p["cand_t"], ((0, dtv), (0, 0), (0, dm)))
-        if dm:
-            cand_t = cand_t.at[:, _PEN_ROW, m0:].set(jnp.inf)
-            cand_t = cand_t.at[:, _CID_ROW, m0:].set(-1.0)
-        return {
-            # padded parent tiles carry -1 query rows (scatter-dropped),
-            # so their vrows/parent pointers may alias any valid row
-            "q_rows": jnp.pad(p["q_rows"], ((0, dtp), (0, 0)),
-                              constant_values=-1),
-            "cand_t": cand_t,
-            "pen": jnp.pad(p["pen"], ((0, dtv), (0, 0), (0, dm)),
-                           constant_values=jnp.inf),
-            "cid": jnp.pad(p["cid"], ((0, dtv), (0, 0), (0, dm)),
-                           constant_values=-1),
-            "parent": jnp.pad(p["parent"], ((0, dtv),)),
-            # extra merge depth re-reads the last row (idempotent combine)
-            "vrows": jnp.pad(
-                jnp.pad(p["vrows"], ((0, dk), (0, 0)), mode="edge"),
-                ((0, 0), (0, dtp)),
-            ),
-        }
-
-    return [pad_per(p) for p in pers]
+    q_rows = np.full((b, max_tp, tq), -1, np.int32)
+    blocks = np.full((b, max_tv, max_b), sentinel, np.int32)
+    parent = np.zeros((b, max_tv), np.int32)
+    vrows = np.full((b, max_k, max_tp), max_tv - 1, np.int32)
+    for i, p in enumerate(pers):
+        tp = p["q_rows"].shape[0]
+        tv, bb = p["blocks"].shape
+        kk = p["vrows"].shape[0]
+        q_rows[i, :tp] = p["q_rows"]
+        blocks[i, :tv, :bb] = p["blocks"]
+        parent[i, :tv] = p["parent"]
+        vrows[i, :kk, :tp] = p["vrows"]
+    return {"q_rows": q_rows, "blocks": blocks, "parent": parent,
+            "vrows": vrows}
 
 
 def _host_rows(cloud: PointCloud):
@@ -677,12 +713,12 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
         reference = seq.get_prefiltered_internal_map()
     b = len(readings)
     dim = readings[0].dim
-    Trm = jnp.asarray(seq._T_refIn_refMean)
-    Trm_h = np.asarray(jax.device_get(Trm), np.float64)
+    Trm = seq._T_refIn_refMean
+    Trm_h = seq.trm_host()
     Trm_inv_h = np.linalg.inv(Trm_h)
 
     batch_reading = _stack_clouds_padded(readings)
-    T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
+    T_inits_b = np.stack([np.asarray(t, np.float32) for t in T_inits])
     rows = batch_reading.points.shape[-2]
 
     # host matcher prep from initial poses (motionBound covers the
@@ -805,15 +841,18 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
             return PendingRegistration(finish)
         return finish()
 
-    pers = _pad_tile_aux(pers)
-    per_aux = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs, axis=0), *pers
-    )
+    sentinel = int(shared["sub_pts"].shape[0]) - 1
+    # host numpy through and through: the int32 assignments (~1.5 MB at
+    # the 4e5 serving shape) transfer as runner-call arguments (an
+    # explicit blocking device_put here measured ~90 ms of relay round
+    # trips); the candidate tables are gathered from the resident
+    # sub-block tables INSIDE the runner
+    per_aux = _pad_tile_aux_np(pers, sentinel)
 
     cache_key = (
         "serve_aux", b, rows, reference.num_points, dim,
         tuple(sorted(
-            (k, tuple(v.shape)) for k, v in pers[0].items()
+            (k, tuple(v.shape)) for k, v in per_aux.items()
         )),
         batch_reading.descriptor_labels(),
         reference.descriptor_labels(),
@@ -895,6 +934,19 @@ def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,
 
     def serve(batch_reading, T_inits_b, Trm, reference, seed, per_aux,
               shared_aux):
+        tile_mode = "blocks" in per_aux
+        if tile_mode:
+            # tile path: gather the loop-static candidate tables from the
+            # resident sub-block tables IN-PROGRAM (host prep ships only
+            # int32 assignments; the former per-scan eager gathers were
+            # ~250 ms/batch of relay dispatch at the 4e5 serving shape)
+            from ..matchers import tile_aux_to_device
+
+            sub_shared = shared_aux
+            per_aux = jax.vmap(
+                lambda p: tile_aux_to_device(p, sub_shared)
+            )(per_aux)
+            shared_aux = {}
         key = jax.random.PRNGKey(seed)
         Trm_inv = se3.inverse(Trm)
 
@@ -915,6 +967,18 @@ def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,
                 if cap is not None:
                     overflow = reading.count() > cap
                     reading = reading.compact_traced(cap)
+            if tile_mode:
+                # permute into TILE ORDER once (filters only flip the
+                # mask, so q_rows — built from the raw rows — stays
+                # valid): the loop's q-gather and result scatter then
+                # become reshapes (the q-gather alone measured
+                # ~4 ms/batch-iter at the 4e5 serving shape, round 5)
+                qr = pa["q_rows"].reshape(-1)
+                safe = jnp.maximum(qr, 0)
+                live = jnp.where(qr >= 0, reading.mask[safe], False)
+                reading = jax.tree_util.tree_map(
+                    lambda x: x[safe], reading
+                ).replace(mask=live)
             T_rmd = Trm_inv @ T_init
             return (
                 _apply_transform(transformations, reading, T_rmd),
@@ -922,15 +986,22 @@ def _build_serve_runner_aux(seq, b: int, permute_compact_cap=None,
                 overflow,
             )
 
+        prep_aux = (
+            {"q_rows": per_aux["q_rows"]} if tile_mode else per_aux
+        )
+        loop_aux = (
+            {k: v for k, v in per_aux.items() if k != "q_rows"}
+            if tile_mode else per_aux
+        )
         prepped, T_rmd_b, overflow = jax.vmap(prep, in_axes=(0, 0, 0, 0))(
-            batch_reading, T_inits_b, jnp.arange(b), per_aux
+            batch_reading, T_inits_b, jnp.arange(b), prep_aux
         )
 
         def loop_one(reading, pa):
             aux = dict(shared_aux) if permutes else {**pa, **shared_aux}
             return run_loop(reading, reference, aux)
 
-        T_iter, iters, code, stats = jax.vmap(loop_one)(prepped, per_aux)
+        T_iter, iters, code, stats = jax.vmap(loop_one)(prepped, loop_aux)
         T_out = jnp.einsum("ij,bjk,bkl->bil", Trm, T_iter, T_rmd_b)
         return T_out, iters, code, stats, overflow
 

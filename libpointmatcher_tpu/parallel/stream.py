@@ -138,9 +138,16 @@ def register_queue_to_map(
     ref_loop = seq.matcher.serving_reference(reference)
     permutes = mode == "skip"
     tile = mode == "tile"
-    shared_aux = (
-        dict(seq.matcher._skip_shared) if mode == "skip" else {}
-    )
+    if mode == "skip":
+        shared_aux = dict(seq.matcher._skip_shared)
+    elif tile:
+        # resident sub-block tables: the queue program gathers each scan's
+        # candidate tables from these at program start (host prep ships
+        # only int32 assignments — see _tile_aux_pool)
+        shared_aux = {"sub_pts": seq.matcher._blocks.pts,
+                      "sub_ids": seq.matcher._blocks.ids}
+    else:
+        shared_aux = {}
 
     dim = readings[0].dim
     Trm = jnp.asarray(seq._T_refIn_refMean)
@@ -159,7 +166,7 @@ def register_queue_to_map(
     T_inits = list(T_inits) + [
         np.eye(dim + 1, dtype=np.float32)
     ] * (Q - Q_real)
-    T_inits_b = jnp.stack([jnp.asarray(t, jnp.float32) for t in T_inits])
+    T_inits_b = np.stack([np.asarray(t, np.float32) for t in T_inits])
 
     pool_in = _stack_clouds_padded(readings)
     rows = pool_in.points.shape[-2]
@@ -214,7 +221,8 @@ def register_queue_to_map(
 
     q_real = jnp.int32(Q_real)
     pool, pool_coarse, T_rmd_b, overflow = prep_fn(
-        pool_in, T_inits_b, Trm, jnp.int32(seed)
+        pool_in, T_inits_b, Trm, jnp.int32(seed),
+        {"q_rows": pool_aux["q_rows"]} if tile else {},
     )
     T0_pool = jnp.broadcast_to(
         jnp.eye(dim + 1, dtype=jnp.float32), (Q, dim + 1, dim + 1)
@@ -268,12 +276,14 @@ def register_queue_to_map(
 def _tile_aux_pool(seq, readings, T_inits, Trm, rows, dim):
     """Per-scan tile assignments for the whole queue: host numpy over
     read-only matcher state (thread pool — numpy releases the GIL),
-    padded to common shapes and stacked into [Q, ...] pools the queue
-    program gathers lanes from."""
-    from .batch import _host_rows, _pad_tile_aux
+    padded to common shapes and stacked into [Q, ...] pools — all host
+    numpy, ONE device transfer; the queue program gathers the candidate
+    tables in-program (the former per-scan eager gathers + device pads
+    measured ~hundreds of ms of relay dispatch per call at the LARGE
+    shapes; tools/tile_phase_profile.py, round 5)."""
+    from .batch import _host_rows, _pad_tile_aux_np
 
-    Trm_h = np.asarray(jax.device_get(Trm), np.float64)
-    Trm_inv_h = np.linalg.inv(Trm_h)
+    Trm_inv_h = np.linalg.inv(seq.trm_host())
 
     def prep_one(i_rd):
         i, rd = i_rd
@@ -287,10 +297,11 @@ def _tile_aux_pool(seq, readings, T_inits, Trm, rows, dim):
 
     with ThreadPoolExecutor(max_workers=8) as ex:
         pers = list(ex.map(prep_one, enumerate(readings)))
-    pers = _pad_tile_aux(pers)
-    return jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs, axis=0), *pers
-    )
+    sentinel = int(seq.matcher._blocks.pts.shape[0]) - 1
+    # plain numpy out — the arrays transfer as program-call arguments
+    # (an explicit blocking device_put measured ~25 ms/array of relay
+    # round trips)
+    return _pad_tile_aux_np(pers, sentinel)
 
 
 def _decimate_mask(cloud: PointCloud, decim: int) -> PointCloud:
@@ -315,11 +326,11 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
         decim, c_iters, cap_c, tol_mult = coarse_key
 
     # ---------------------------------------------------------------- prep
-    def prep_all(pool_in, T_inits_b, Trm, seed):
+    def prep_all(pool_in, T_inits_b, Trm, seed, prep_aux):
         key = jax.random.PRNGKey(seed)
         Trm_inv = se3.inverse(Trm)
 
-        def prep(reading, T_init, i):
+        def prep(reading, T_init, i, pa):
             kr = jax.random.fold_in(key, i)
             reading = apply_filter_chain_traced(
                 reading_filters, reading, kr
@@ -333,6 +344,15 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
             if cap is not None:
                 overflow = reading.count() > cap
                 reading = reading.compact_traced(cap)
+            if tile:
+                # permute into TILE ORDER once (see the batch runner):
+                # the loop's q-gather and result scatter become reshapes
+                qr = pa["q_rows"].reshape(-1)
+                safe = jnp.maximum(qr, 0)
+                live = jnp.where(qr >= 0, reading.mask[safe], False)
+                reading = jax.tree_util.tree_map(
+                    lambda x: x[safe], reading
+                ).replace(mask=live)
             T_rmd = Trm_inv @ T_init
             reading = _apply_transform(transformations, reading, T_rmd)
             coarse_r = None
@@ -344,8 +364,8 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
                 )
             return reading, coarse_r, T_rmd, overflow
 
-        return jax.vmap(prep, in_axes=(0, 0, 0))(
-            pool_in, T_inits_b, jnp.arange(Q)
+        return jax.vmap(prep, in_axes=(0, 0, 0, 0))(
+            pool_in, T_inits_b, jnp.arange(Q), prep_aux
         )
 
     # ------------------------------------------------------------- the loop
@@ -383,6 +403,23 @@ def _build_queue_runners(seq, Q, lanes, cap, permutes, coarse_key,
                       q_real):
             dim = reference.dim
             has_per = bool(tile)
+            if tile:
+                # gather every queued scan's loop-static candidate tables
+                # from the resident sub-block tables ONCE, in-program (the
+                # pool then holds [Q, Tv, 8, M] tables in HBM, exactly the
+                # layout the former host-side prep shipped — but with zero
+                # per-scan dispatches and an int32-only transfer)
+                from ..matchers import tile_aux_to_device
+
+                sub_shared = shared_aux
+                pool_aux = jax.vmap(
+                    lambda p: tile_aux_to_device(p, sub_shared)
+                )(pool_aux)
+                # q_rows is consumed by prep's tile-order permutation;
+                # the loop addresses queries by position (reshape)
+                pool_aux = {k: v for k, v in pool_aux.items()
+                            if k != "q_rows"}
+                shared_aux = {}
             if has_per:
                 aux_axes = {
                     **{k: 0 for k in pool_aux},

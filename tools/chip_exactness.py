@@ -107,7 +107,8 @@ def main():
         "knn": "1", "maxDist": "0.6", "motionBound": "0.0",
         "tileQueries": "256", "blockCap": "1024"})
     m.init(refc)
-    per, _ = m.prepare_loop_host(np.asarray(q), np.ones(N, bool))
+    from libpointmatcher_tpu.matchers import tile_aux_to_device
+    per = tile_aux_to_device(*m.prepare_loop_host(np.asarray(q), np.ones(N, bool)))
     B = 8
     qb = jnp.stack([qc.points + 0.001 * b for b in range(B)])
     mb = jnp.stack([qc.mask] * B)

@@ -82,7 +82,8 @@ def main():
     bg.init(ref_f)
     pts_h, mask_h = (np.asarray(x) for x in
                      jax.device_get((read_f.points, read_f.mask)))
-    per, _ = bg.prepare_loop_host(pts_h, mask_h)
+    from libpointmatcher_tpu.matchers import tile_aux_to_device
+    per = tile_aux_to_device(*bg.prepare_loop_host(pts_h, mask_h))
     q_rows, cand_t, pen, cid = (per["q_rows"], per["cand_t"], per["pen"],
                                 per["cid"])
     T, TQ = q_rows.shape
