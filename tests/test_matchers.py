@@ -549,3 +549,82 @@ def test_assign_tiles_lane_safe_blockcap():
         assert (B * SB) % 128 == 0, (cap, B)
         # the split must actually bound the axis near the cap
         assert B * SB <= max(cap, 128) + 128 * SB
+
+
+@pytest.mark.quick
+def test_pad_tile_aux_np_knn_batch_exact():
+    """Batched tile aux padding must stay exact for k>1 lists: two scans
+    with DIFFERENT tile/vtile/merge-depth shapes are padded to common
+    shapes (_pad_tile_aux_np) and served through the in-program gather +
+    tile-order permutation, and every scan's k-list must equal its own
+    unpadded single-scan result — in particular no duplicated neighbors
+    from padded merge rows (the padded rows point at an all-pad vtile,
+    NOT an edge-replicated real one)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libpointmatcher_tpu.matchers import tile_aux_to_device
+    from libpointmatcher_tpu.ops.tilesweep import tile_knnk_from_candidates
+    from libpointmatcher_tpu.parallel.batch import _pad_tile_aux_np
+
+    rng = np.random.default_rng(3)
+    ref = pm.PointCloud.from_numpy(
+        rng.uniform(0, 10, (3000, 3)).astype(np.float32)
+    )
+    # scan A: tight cluster (few tiles); scan B: broad spread (many tiles,
+    # virtual splits at the small blockCap)
+    qa = rng.uniform(4, 5, (500, 3)).astype(np.float32)
+    qb = rng.uniform(0, 10, (500, 3)).astype(np.float32)
+    m = Reg.create("BlockGridMatcher", {
+        "knn": "3", "maxDist": "1.2", "motionBound": "0.0",
+        "tileQueries": "16", "blockCap": "128",
+    })
+    m.init(ref)
+
+    pers, singles = [], []
+    for q in (qa, qb):
+        per, shared = m.prepare_loop_host(q, np.ones(len(q), bool))
+        pers.append(per)
+        aux = tile_aux_to_device(per, shared)
+        d, i = tile_knnk_from_candidates(
+            jnp.asarray(q), jnp.ones(len(q), bool), aux["q_rows"],
+            aux["cand_t"], aux["pen"], aux["cid"], 1.2,
+            parent=aux["parent"], vrows=aux["vrows"], k=3,
+        )
+        singles.append((np.asarray(d), np.asarray(i)))
+    assert pers[0]["blocks"].shape != pers[1]["blocks"].shape \
+        or pers[0]["vrows"].shape != pers[1]["vrows"].shape
+
+    sentinel = int(shared["sub_pts"].shape[0]) - 1
+    stacked = _pad_tile_aux_np(pers, sentinel)
+
+    def one(q, pa):
+        aux = tile_aux_to_device(pa, shared)
+        # tile-order permutation (the serving runners' prep step)
+        qr = aux["q_rows"].reshape(-1)
+        safe = jnp.maximum(qr, 0)
+        pts = jnp.asarray(q)[safe]
+        mask = jnp.where(qr >= 0, jnp.ones(len(q), bool)[safe], False)
+        d, i = tile_knnk_from_candidates(
+            pts, mask, None, aux["cand_t"], aux["pen"], aux["cid"], 1.2,
+            parent=aux["parent"], vrows=aux["vrows"], k=3,
+        )
+        # un-permute for comparison: row j of the permuted result is raw
+        # row qr[j]
+        n = len(q)
+        idx = jnp.where(qr >= 0, qr, n)
+        back_d = jnp.full((n + 1, 3), jnp.inf).at[idx].set(d)[:n]
+        back_i = jnp.full((n + 1, 3), -1).at[idx].set(i)[:n]
+        return back_d, back_i
+
+    qs = jnp.stack([jnp.asarray(qa), jnp.asarray(qb)])
+    db, ib = jax.vmap(one)(qs, jax.tree_util.tree_map(jnp.asarray, stacked))
+    for s in range(2):
+        d0, i0 = singles[s]
+        dk = np.asarray(db[s])
+        ik = np.asarray(ib[s])
+        np.testing.assert_array_equal(
+            np.where(np.isfinite(d0), d0, -1.0),
+            np.where(np.isfinite(dk), dk, -1.0),
+        )
+        np.testing.assert_array_equal(i0, ik)
