@@ -624,7 +624,7 @@ def tile_aux_to_device(per_scan, shared):
     from .ops.tilesweep import _gather_candidates
 
     cand_t, pen, cid = _gather_candidates(
-        shared["sub_pts"], shared["sub_ids"], jnp.asarray(per_scan["blocks"])
+        shared["sub_units"], jnp.asarray(per_scan["blocks"])
     )
     return {
         "q_rows": jnp.asarray(per_scan["q_rows"]),
@@ -747,7 +747,7 @@ class BlockGridMatcher(Matcher):
         return (
             {"q_rows": ta.q_rows, "blocks": ta.blocks,
              "parent": ta.parent, "vrows": ta.vrows},
-            {"sub_pts": self._blocks.pts, "sub_ids": self._blocks.ids},
+            {"sub_units": self._blocks.units},
         )
 
     def touched_per_iteration(self, reading, reference) -> int:

@@ -52,12 +52,31 @@ TILE_KNN_MAX = 32
 
 SB = 8  # sub-block rows (f32 sublane width)
 
+#: sub-blocks per GATHER UNIT (the granularity of the per-registration
+#: candidate-table gather). The cell-sorted slot lists of a tile union
+#: are almost perfect runs, so gathering 64-row units instead of 8-row
+#: slots cuts the gather's row count ~7x for ~+11% padded candidate rows
+#: (measured at the 1e5/4e5 terrain serving scenes, round 5) — and TPU
+#: gathers pay per ROW (scalar-core addressing), so the unit gather
+#: brought the in-program table build from ~73 to ~15 ms/batch at 4e5.
+#: Exactness: a unit's extra rows belong to cells outside the union, and
+#: any point within maxDist provably lies IN the union (cell edge >=
+#: maxDist + motionBound), so extras are strictly beyond maxDist and the
+#: post-kernel radius mask removes them before they can displace a real
+#: neighbor (distances rank them last among unmasked candidates).
+GATHER_G = 8
+
 
 class SubBlocks(NamedTuple):
     """Cell-sorted reference in fixed 8-row sub-blocks (built at init)."""
 
     pts: jnp.ndarray      # [S+1, SB, d] sub-block coordinates (last: empty)
     ids: jnp.ndarray      # [S+1, SB] original row ids (-1 = pad)
+    #: [U+1, GATHER_G·SB, d+1] fused gather-unit table: unit u covers
+    #: slots [u·G, (u+1)·G); channel d carries the original row id as f32
+    #: (exact below 2^24, guarded at build; -1 = pad). Row U is the
+    #: reserved ALL-PAD unit assignment padding points at.
+    units: jnp.ndarray
     # host-side lookup state (numpy, never traced):
     ulins: np.ndarray     # [Cn] sorted linear ids of non-empty cells
     start: np.ndarray     # [Cn] first sub-block slot of each cell
@@ -82,7 +101,8 @@ class TileAssign(NamedTuple):
     vtile→parent merge reads whole consecutive rows (``vbase``)."""
 
     q_rows: jnp.ndarray   # [Tp, TQ] PARENT-tile query rows (-1 = pad)
-    blocks: jnp.ndarray   # [Tv, B] virtual-tile sub-block slots (S = pad)
+    blocks: jnp.ndarray   # [Tv, B] virtual-tile GATHER-UNIT indices into
+    #                       SubBlocks.units (the all-pad unit U = pad)
     touched: int          # actual (query, candidate) pairs per sweep
     parent: jnp.ndarray   # [Tv] parent tile of each virtual tile
     #: [K, Tp] virtual-tile row to read at merge step j (clamped to the
@@ -119,9 +139,12 @@ def build_sub_blocks(points: np.ndarray, mask: np.ndarray,
             f"(got {pts.shape[0]}); shard the cloud instead"
         )
     if len(valid) == 0:
+        empty_units = np.zeros((2, GATHER_G * SB, d + 1), np.float32)
+        empty_units[..., d] = -1.0
         return SubBlocks(
             pts=jnp.zeros((1, SB, d), jnp.float32),
             ids=jnp.full((1, SB), -1, jnp.int32),
+            units=jnp.asarray(empty_units),
             ulins=np.zeros(0, np.int64),
             start=np.zeros(0, np.int64),
             nsub=np.zeros(0, np.int64),
@@ -156,9 +179,20 @@ def build_sub_blocks(points: np.ndarray, mask: np.ndarray,
     blocks[slot, sub_rank] = pts[rows]
     ids[slot, sub_rank] = rows
 
+    # fused gather-unit table (see GATHER_G): slots padded to a multiple
+    # of G, plus one reserved all-pad unit at the end
+    U = -(-(S + 1) // GATHER_G)
+    units = np.zeros(((U + 1) * GATHER_G * SB, d + 1), np.float32)
+    units[..., d] = -1.0
+    flat_n = (S + 1) * SB
+    units[:flat_n, :d] = blocks.reshape(flat_n, d)
+    units[:flat_n, d] = ids.reshape(flat_n)
+    units = units.reshape(U + 1, GATHER_G * SB, d + 1)
+
     return SubBlocks(
         pts=jnp.asarray(blocks),
         ids=jnp.asarray(ids, jnp.int32),
+        units=jnp.asarray(units),
         ulins=ulins,
         start=sub_start,
         nsub=nsub,
@@ -204,13 +238,14 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     keep = np.flatnonzero(np.asarray(mask, bool))
     from ..cloud import bucket_size
 
+    U = int(sub.units.shape[0]) - 1          # the reserved all-pad unit
     if len(keep) == 0 or len(sub.ulins) == 0:
         T = max(16, pad_tiles_to)
         B = max(16, pad_blocks_to)
         conv = jnp.asarray if to_device else np.asarray
         return TileAssign(
             q_rows=conv(np.full((T, tile_q), -1, np.int32)),
-            blocks=conv(np.full((T, B), S, np.int32)),
+            blocks=conv(np.full((T, B), U, np.int32)),
             touched=0,
             parent=conv(np.zeros((T,), np.int32)),
             vrows=conv(np.full((1, T), T - 1, np.int32)),
@@ -279,31 +314,32 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     )
     sub_slots = base + within
     sub_tiles = np.repeat(flat_tile, run_len)
-    # dedup (tile, slot) — neighbor unions overlap across a tile's cells
-    key = sub_tiles * np.int64(S + 1) + sub_slots
+    # dedup (tile, GATHER UNIT) — neighbor unions overlap across a tile's
+    # cells, and consecutive slots collapse onto the same 64-row unit
+    # (see GATHER_G: ~7x fewer gather rows for ~+11% padded candidates)
+    key = sub_tiles * np.int64(U + 1) + sub_slots // GATHER_G
     ukey = np.unique(key)
-    u_tile = ukey // (S + 1)
-    u_slot = ukey % (S + 1)
+    u_tile = ukey // (U + 1)
+    u_unit = ukey % (U + 1)
 
-    # scatter per-(virtual-)tile block lists. The candidate axis B·SB must
-    # be a multiple of 128 (pallas lane width): the granule-32 ladder
-    # values (32, 48, 64, 96, 128, 192, 256) are all multiples of 16;
-    # beyond 256, round to 256-block multiples.
+    # scatter per-(virtual-)tile unit lists. The candidate axis
+    # B·GATHER_G·SB must be a multiple of 128 (pallas lane width): with
+    # 64-row units that means B even — the granule-4 ladder (4, 6, 8, 12,
+    # 16, 24, 32, …) satisfies it.
     t_starts = np.searchsorted(u_tile, np.arange(T_pad))
     t_counts = np.diff(np.concatenate([t_starts, [len(ukey)]]))
     within_t = np.arange(len(ukey)) - np.repeat(t_starts, t_counts)
-    # capb must keep the candidate axis M = capb·SB a multiple of 128
-    # (pallas lane width) when the virtual-tile split makes B == capb:
-    # round down to a multiple of 128 // SB = 16 blocks (blockCap values
-    # that are not multiples of 128, e.g. 1000, are legal per the Param).
-    capb = max((block_cap // SB) // 16 * 16, 16)
+    # capu must keep M = capu·G·SB a multiple of 128 when the split makes
+    # B == capu: round down to an even unit count (blockCap values that
+    # are not multiples of 128, e.g. 1000, are legal per the Param).
+    capu = max((block_cap // (SB * GATHER_G)) // 2 * 2, 2)
     maxc = max(int(t_counts.max()), 1)
 
-    # virtual-tile split: parent tile t becomes ceil(count_t / capb)
-    # consecutive virtual tiles (maxc ≤ capb degenerates to one each);
+    # virtual-tile split: parent tile t becomes ceil(count_t / capu)
+    # consecutive virtual tiles (maxc ≤ capu degenerates to one each);
     # parents with zero candidates point at the reserved all-pad virtual
     # tile Tv (pen +inf everywhere → (+inf, -1))
-    k_t = -(-t_counts // capb)
+    k_t = -(-t_counts // capu)
     vbase = np.concatenate([[0], np.cumsum(k_t)])[:-1]
     Tv = int(k_t.sum())
     # + 1 reserves the all-pad vtile; bucket granule 16 keeps the tile
@@ -311,12 +347,12 @@ def assign_tiles(query: np.ndarray, mask: np.ndarray, sub: SubBlocks,
     Tv_pad = max(int(bucket_size(Tv + 1, granule=16)), pad_tiles_to)
     parent = np.zeros(Tv_pad, np.int64)
     parent[:Tv] = np.repeat(np.arange(T_pad), k_t)
-    B = min(int(bucket_size(maxc, granule=32)), capb)
-    if B > 256:
-        B = -(-B // 256) * 256
+    B = min(int(bucket_size(maxc, granule=4)), capu)
+    if B > 32:
+        B = -(-B // 32) * 32
     B = max(B, pad_blocks_to)
-    blocks = np.full((Tv_pad, B), S, np.int64)
-    blocks[vbase[u_tile] + within_t // capb, within_t % capb] = u_slot
+    blocks = np.full((Tv_pad, B), U, np.int64)
+    blocks[vbase[u_tile] + within_t // capu, within_t % capu] = u_unit
     vb = np.full(T_pad, Tv, np.int64)   # Tv = the reserved all-pad vtile
     has = k_t > 0
     vb[has] = vbase[has]
@@ -352,14 +388,17 @@ _CID_ROW = _DPAD - 1  # candidate-table row carrying the original row id
 
 
 @jax.jit
-def _gather_candidates(sub_pts, sub_ids, blocks):
+def _gather_candidates(sub_units, blocks):
     T, B = blocks.shape
-    d = sub_pts.shape[-1]
-    cand = sub_pts[blocks].reshape(T, B * SB, d)
-    cid = sub_ids[blocks].reshape(T, 1, B * SB)
-    cand_t = jnp.zeros((T, _DPAD, B * SB), jnp.float32)
+    d = sub_units.shape[-1] - 1
+    rows = sub_units.shape[1]                 # GATHER_G · SB
+    g = sub_units[blocks]                     # [T, B, G·SB, d+1] ONE gather
+    M = B * rows
+    cand = g[..., :d].reshape(T, M, d)
+    cidf = g[..., d].reshape(T, 1, M)
+    cand_t = jnp.zeros((T, _DPAD, M), jnp.float32)
     cand_t = cand_t.at[:, :d, :].set(jnp.swapaxes(cand, 1, 2))
-    pen = jnp.where(cid >= 0, 0.0, jnp.inf)
+    pen = jnp.where(cidf >= 0, 0.0, jnp.inf)
     # Rows _PEN_ROW/_CID_ROW of the (already sublane-padded) table carry
     # the pad penalty and the candidate's original row id (float-exact:
     # ids < 2^24, guarded in build_sub_blocks), so the 1-NN kernel reads
@@ -367,18 +406,20 @@ def _gather_candidates(sub_pts, sub_ids, blocks):
     # 1→8 in VMEM and accounted for ~half of a measured scoped-vmem
     # compile OOM at the batched serving shape (round 3).
     cand_t = cand_t.at[:, _PEN_ROW, :].set(pen[:, 0, :])
-    cand_t = cand_t.at[:, _CID_ROW, :].set(cid[:, 0, :].astype(jnp.float32))
-    return cand_t, pen, cid
+    cand_t = cand_t.at[:, _CID_ROW, :].set(cidf[:, 0, :])
+    return cand_t, pen, cidf.astype(jnp.int32)
 
 
 def gather_candidates(sub: SubBlocks, blocks: jnp.ndarray):
     """Materialize a tile assignment's candidate tables, once per
     registration (one jitted device program — eager dispatch costs several
     relay round-trips; measured seconds at 10^5 tiles·slots): returns
-    ``(cand_t [T, 8, B·SB], pen [T, 1, B·SB], cid [T, 1, B·SB])`` in the
-    kernel's transposed lane-contiguous layout. Candidates are loop-static,
-    so the per-iteration sweep never gathers."""
-    return _gather_candidates(sub.pts, sub.ids, blocks)
+    ``(cand_t [T, 8, M], pen [T, 1, M], cid [T, 1, M])``, M = B·G·SB, in
+    the kernel's transposed lane-contiguous layout. ONE row gather from
+    the fused 64-row unit table (coords + ids together — TPU gathers pay
+    per row, see GATHER_G). Candidates are loop-static, so the
+    per-iteration sweep never gathers."""
+    return _gather_candidates(sub.units, blocks)
 
 
 def _morton(coords: np.ndarray) -> np.ndarray:
@@ -893,8 +934,7 @@ def tile_knnk_from_candidates(points, qmask, q_rows, cand_t, pen, cid,
 
 def tile_nn1(points: jnp.ndarray, qmask: jnp.ndarray,
              q_rows: jnp.ndarray, blocks: jnp.ndarray,
-             sub_pts: jnp.ndarray, sub_ids: jnp.ndarray,
-             max_dist: float):
+             sub_units: jnp.ndarray, max_dist: float):
     """Exact bounded-radius 1-NN of ``points`` [N, d] through the static
     tile assignment, with ``q_rows`` given PER VIRTUAL TILE (duplicates
     allowed — the sharded path slices this axis across devices).
@@ -904,7 +944,7 @@ def tile_nn1(points: jnp.ndarray, qmask: jnp.ndarray,
 
     Returns ``(dists2 [N], ids [N])`` with ``(+inf, -1)`` beyond the
     radius, for rows absent from the assignment, and for masked rows."""
-    cand_t, pen, cid = _gather_candidates(sub_pts, sub_ids, blocks)
+    cand_t, pen, cid = _gather_candidates(sub_units, blocks)
     return tile_nn1_from_candidates(
         points, qmask, q_rows, cand_t, pen, cid, max_dist
     )

@@ -841,7 +841,7 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
             return PendingRegistration(finish)
         return finish()
 
-    sentinel = int(shared["sub_pts"].shape[0]) - 1
+    sentinel = int(shared["sub_units"].shape[0]) - 1
     # host numpy through and through: the int32 assignments (~1.5 MB at
     # the 4e5 serving shape) transfer as runner-call arguments (an
     # explicit blocking device_put here measured ~90 ms of relay round

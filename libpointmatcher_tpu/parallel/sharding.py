@@ -162,7 +162,7 @@ def sharded_block_nn1(points, qb_rows, qb_nb_slots, blocks, block_ids,
     return run(points, qb_rows, qb_nb_slots, blocks, block_ids)
 
 
-def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
+def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_units,
                      max_dist: float, mesh: Mesh,
                      axis_name: str = "points"):
     """Bounded-radius 1-NN with the *query-tile* axis sharded over the mesh
@@ -190,12 +190,12 @@ def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(axis_name, None), P(axis_name, None),
-                  P(), P()),
+                  P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(pts, qm, rows, blk, spts, sids):
-        ld, li = tile_nn1(pts, qm, rows, blk, spts, sids, max_dist)
+    def run(pts, qm, rows, blk, sunits):
+        ld, li = tile_nn1(pts, qm, rows, blk, sunits, max_dist)
         gd = jax.lax.pmin(ld, axis_name)
         big = jnp.int32(np.iinfo(np.int32).max)
         cand = jnp.where(
@@ -204,7 +204,7 @@ def sharded_tile_nn1(points, qmask, q_rows, blocks, sub_pts, sub_ids,
         gi = jax.lax.pmin(cand, axis_name)
         return gd, jnp.where(gi == big, -1, gi)
 
-    return run(points, qmask, q_rows, blocks, sub_pts, sub_ids)
+    return run(points, qmask, q_rows, blocks, sub_units)
 
 
 def pad_sweep_tables_for_mesh(rt3, ct, n_dev: int):

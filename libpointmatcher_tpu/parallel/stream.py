@@ -144,8 +144,7 @@ def register_queue_to_map(
         # resident sub-block tables: the queue program gathers each scan's
         # candidate tables from these at program start (host prep ships
         # only int32 assignments — see _tile_aux_pool)
-        shared_aux = {"sub_pts": seq.matcher._blocks.pts,
-                      "sub_ids": seq.matcher._blocks.ids}
+        shared_aux = {"sub_units": seq.matcher._blocks.units}
     else:
         shared_aux = {}
 

@@ -533,22 +533,27 @@ def test_block_grid_knn_through_engine(data3d, ref3d):
 
 def test_assign_tiles_lane_safe_blockcap():
     """blockCap values that are not multiples of 128 (legal per the Param,
-    min=128) must still yield a candidate axis B*SB divisible by 128 when
-    the virtual-tile split triggers (advisor round-2 finding: blockCap=1000
-    gave M=1000 and crashed the pallas sweep on TPU)."""
-    from libpointmatcher_tpu.ops.tilesweep import (SB, assign_tiles,
+    min=128) must still yield a candidate axis B*GATHER_G*SB divisible by
+    128 when the virtual-tile split triggers (advisor round-2 finding:
+    blockCap=1000 gave M=1000 and crashed the pallas sweep on TPU).
+    ``blocks`` holds 64-row GATHER UNITS since round 5."""
+    from libpointmatcher_tpu.ops.tilesweep import (GATHER_G, SB,
+                                                   assign_tiles,
                                                    build_sub_blocks)
 
     rng = np.random.default_rng(7)
     pts = rng.uniform(0, 4.0, size=(20000, 3)).astype(np.float32)
     mask = np.ones(len(pts), bool)
     sub = build_sub_blocks(pts, mask, 1.0)
+    unit = GATHER_G * SB
     for cap in (1000, 128, 130, 999, 2048):
         ta = assign_tiles(pts, mask, sub, tile_q=64, block_cap=cap)
         B = ta.blocks.shape[1]
-        assert (B * SB) % 128 == 0, (cap, B)
-        # the split must actually bound the axis near the cap
-        assert B * SB <= max(cap, 128) + 128 * SB
+        assert (B * unit) % 128 == 0, (cap, B)
+        # the split must actually bound the axis near the cap (capu
+        # rounds DOWN to an even unit count, so the axis never exceeds
+        # the requested rows when the split triggers)
+        assert B * unit <= max(cap, 2 * unit), (cap, B)
 
 
 @pytest.mark.quick
@@ -595,7 +600,7 @@ def test_pad_tile_aux_np_knn_batch_exact():
     assert pers[0]["blocks"].shape != pers[1]["blocks"].shape \
         or pers[0]["vrows"].shape != pers[1]["vrows"].shape
 
-    sentinel = int(shared["sub_pts"].shape[0]) - 1
+    sentinel = int(shared["sub_units"].shape[0]) - 1
     stacked = _pad_tile_aux_np(pers, sentinel)
 
     def one(q, pa):

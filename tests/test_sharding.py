@@ -304,9 +304,9 @@ def test_sharded_tile_nn1_matches_single_device(mesh):
     vq = ta.vtile_q_rows()  # the per-virtual-tile layout the shard slices
     assert vq.shape[0] % 8 == 0  # tile ladder divides the mesh
 
-    d1, i1 = tile_nn1(q, qm, vq, ta.blocks, sub.pts, sub.ids, 0.5)
+    d1, i1 = tile_nn1(q, qm, vq, ta.blocks, sub.units, 0.5)
     d2, i2 = sharded_tile_nn1(
-        q, qm, vq, ta.blocks, sub.pts, sub.ids, 0.5, mesh
+        q, qm, vq, ta.blocks, sub.units, 0.5, mesh
     )
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
     np.testing.assert_allclose(
