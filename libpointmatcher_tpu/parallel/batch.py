@@ -65,21 +65,31 @@ def _stack_clouds(clouds: Sequence[PointCloud], cap: int) -> PointCloud:
 
 
 def _stack_clouds_padded(clouds: Sequence[PointCloud],
-                         min_rows: int = 0) -> PointCloud:
+                         min_rows: int = 0,
+                         prefer_numpy: bool = False) -> PointCloud:
     """Pad to a common bucketed row count and stack — zero host syncs
     (row counts come from static shapes; padded rows carry mask=False).
     ``min_rows`` floors the bucket so independent batches of a sweep can
     share one compiled program (the eval ladder).
 
-    Clouds carrying a host cache (the usual serving case: scans arrive
-    via ``from_numpy``/IO) are padded and stacked in numpy: the batch
-    then rides into the serving program as plain arrays (transferred at
-    call time) instead of ~5 eager pad + stack dispatches PER SCAN
-    through the relay (part of the per-batch overhead measured in
-    tools/tile_phase_profile.py)."""
+    ``prefer_numpy=True`` (the TILE serving drivers): clouds carrying a
+    host cache are padded and stacked in numpy and ride into the serving
+    program as plain call arguments — zero eager dispatches, proven part
+    of the tile path's 869→254 ms/batch rework
+    (tools/tile_phase_profile.py). Default False: pad/stack the
+    device-resident leaves with async eager ops — scans are usually
+    already on device, and re-transferring a large pool every call
+    measured a 38.3→29.5 reg/s regression on the 25k-car c2f queue
+    (round-5 A/B, PMTPU_STACK_NUMPY)."""
     cap = bucket_size(max(min_rows, max(c.num_points for c in clouds)))
 
-    if all(getattr(c, "_host_cache", None) is not None for c in clouds):
+    import os as _os
+
+    env = _os.environ.get("PMTPU_STACK_NUMPY", "")
+    use_numpy = prefer_numpy if env == "" else env not in ("0",)
+    if (use_numpy
+            and all(getattr(c, "_host_cache", None) is not None
+                    for c in clouds)):
         pts0, _, descs0, tms0 = clouds[0]._host_cache
         b = len(clouds)
         pts = np.zeros((b, cap, pts0.shape[1]), np.float32)
@@ -717,7 +727,9 @@ def _register_batch_to_map_aux(seq, readings, T_inits, seed,
     Trm_h = seq.trm_host()
     Trm_inv_h = np.linalg.inv(Trm_h)
 
-    batch_reading = _stack_clouds_padded(readings)
+    tile_matcher = type(seq.matcher).__name__ == "BlockGridMatcher"
+    batch_reading = _stack_clouds_padded(readings,
+                                         prefer_numpy=tile_matcher)
     T_inits_b = np.stack([np.asarray(t, np.float32) for t in T_inits])
     rows = batch_reading.points.shape[-2]
 

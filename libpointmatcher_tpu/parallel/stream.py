@@ -167,7 +167,7 @@ def register_queue_to_map(
     ] * (Q - Q_real)
     T_inits_b = np.stack([np.asarray(t, np.float32) for t in T_inits])
 
-    pool_in = _stack_clouds_padded(readings)
+    pool_in = _stack_clouds_padded(readings, prefer_numpy=tile)
     rows = pool_in.points.shape[-2]
     # the tile assignment indexes RAW padded reading rows — no compaction
     cap = (

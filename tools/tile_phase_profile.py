@@ -74,7 +74,7 @@ def main():
     Trm_inv_h = np.linalg.inv(Trm_h)
     T_inits = [np.eye(dim + 1, dtype=np.float32)] * b
 
-    batch_reading = pb._stack_clouds_padded(scans)
+    batch_reading = pb._stack_clouds_padded(scans, prefer_numpy=True)
     T_inits_b = jax.numpy.stack(
         [jax.numpy.asarray(t, jax.numpy.float32) for t in T_inits]
     )
@@ -98,7 +98,7 @@ def main():
         t_host = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        sentinel = int(shared["sub_pts"].shape[0]) - 1
+        sentinel = int(shared["sub_units"].shape[0]) - 1
         per_aux = jax.device_put(pb._pad_tile_aux_np(pers, sentinel))
         jax.block_until_ready(per_aux)
         t_aux = time.perf_counter() - t0
