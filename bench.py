@@ -181,7 +181,11 @@ def main():
     # lanes=8: the round-5 chip A/B (tools/queue_ab.py, queue_ab_out.json)
     # measured lanes 16/32 LOSING (20.2/15.5 vs 22.6 reg/s at 8) — the
     # vmapped matching kernel does not amortize past 8 lanes at this shape
-    Q = int(os.environ.get("PMTPU_BENCH_QUEUE", "40"))
+    # Q=64 (round-5 A/B): the c2f fine pass converges in ~4.7 iterations,
+    # so a Q=40 queue idles ~10% of lane-iterations in the drain tail;
+    # Q=64 measured 50.75 vs 47.60 reg/s same-box (+6.6%). Longer still
+    # amortizes further but compiles a bigger program for little gain.
+    Q = int(os.environ.get("PMTPU_BENCH_QUEUE", "64"))
     lanes = int(os.environ.get("PMTPU_BENCH_LANES", "8"))
     scans_q = [reading] * Q
     register_queue_to_map(seq, scans_q, seed=0, lanes=lanes)  # warm
